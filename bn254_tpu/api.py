@@ -19,6 +19,13 @@ from .errors import (
     InvalidSliceLength, NotMemberFieldError, ToAffineConversion,
 )
 
+# Native host engine (native/bn254_host.c): drop-in accelerator for the
+# hot scalar paths; the pure-Python spec stays the fallback and oracle.
+# Disable with BN254_NO_NATIVE=1.
+from . import native as _native
+
+_NATIVE = _native.available()
+
 __all__ = [
     "Fr", "Fq", "Fq2", "G1", "G2", "AffineG1", "AffineG2", "Gt",
     "pairing", "pairing_batch", "miller_loop_batch",
@@ -301,6 +308,10 @@ class _Point:
         return self._wrap(_G.neg(self.p, self._K))
 
     def __mul__(self, fr):
+        if _NATIVE:
+            mul = (_native.g1_scalar_mul if self._K is _G.FqOps
+                   else _native.g2_scalar_mul)
+            return self._wrap(mul(self.p, fr.v))
         return self._wrap(_G.scalar_mul(self.p, fr.v, self._K))
 
     def __eq__(self, o):
@@ -441,6 +452,8 @@ class Gt:
         return cls(_F.FQ12_ONE)
 
     def pow(self, exp):
+        if _NATIVE:
+            return Gt(_native.fq12_pow(self.f, exp.v))
         return Gt(_F.fq12_pow(self.f, exp.v))
 
     def inverse(self):
@@ -467,18 +480,29 @@ class Gt:
 def pairing(p, q):
     """Reduced optimal-ate pairing e(p, q); infinity in either slot yields
     Gt::one (lib.rs:611-613)."""
+    if _NATIVE:
+        return Gt(_native.pairing(p.p, q.p))
     return Gt(_G.pairing(p.p, q.p))
 
 
 def pairing_batch(pairs):
     """Batch pairing, silently skipping infinity pairs; one shared final
     exponentiation (lib.rs:615-623)."""
+    if _NATIVE:
+        return Gt(_native.pairing_batch([p.p for p, _ in pairs],
+                                        [q.p for _, q in pairs]))
     return Gt(_G.pairing_batch([p.p for p, _ in pairs], [q.p for _, q in pairs]))
 
 
 def miller_loop_batch(pairs):
     """Un-exponentiated batch Miller loop over (G2, G1) pairs; raises
     ToAffineConversion on points at infinity (lib.rs:625-633)."""
+    if _NATIVE:
+        try:
+            return Gt(_native.miller_loop_batch(
+                [q.p for q, _ in pairs], [p.p for _, p in pairs]))
+        except ValueError:
+            raise ToAffineConversion("point at infinity")
     coeffs_list = []
     p_affines = []
     for q, p in pairs:
