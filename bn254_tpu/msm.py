@@ -1,0 +1,149 @@
+"""Pippenger multi-scalar multiplication on TPU (north-star capability;
+no equivalent exists in the reference — see SURVEY.md §2 note and §7
+phase 7).
+
+Design (TPU-first):
+
+* Scalars are split into W = ceil(256/c) windows of c bits.
+* The point set is reshaped into T parallel tiles.  ALL W windows are
+  processed simultaneously by folding the window axis into the parallel
+  batch axis: the device holds W*T private bucket arrays of 2^c Jacobian
+  accumulators, and one lax.scan of n/T steps feeds each incoming point
+  tile to every window's buckets at once (one flat gather + one
+  [W*T]-wide branchless add + one flat scatter per step; bucket indices
+  are unique within a step so no collision handling is needed).
+* Bucket reduction is the classical running-sum (sum_b b*B_b via suffix
+  accumulation): a single 2^c-1-step scan of [W*T]-wide adds; bucket 0 is
+  naturally excluded.
+* Windows then combine by Horner (c doublings between window partials,
+  high window first) on [T]-wide batches, and a log2(T) tree folds the
+  tiles.
+
+Sequential depth: n/T + 2^c + c*(W-1) + log2(T) batched group ops, with
+W*T-wide data parallelism in the two dominant scans.  All group ops are
+the branchless unified add/double from bn254_tpu.groups, so duplicate
+points, infinities, and P + (-P) inside a bucket need no control flow.
+
+Multi-host sharding lives in bn254_tpu.parallel (shard the point axis;
+each device runs this kernel on its shard; partials fold over an
+all_gather).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import groups as G
+from . import limbs as L
+
+__all__ = ["msm", "WINDOW_BITS"]
+
+WINDOW_BITS = 8  # 2^8 buckets per (window, tile): good VMEM/depth balance
+
+
+def _all_digits(scalars, c: int, nwindows: int):
+    """All base-2^c digits of each scalar -> [W, B] int32.
+
+    scalars: canonical limb array [N_LIMBS, B] (16-bit limbs); c must
+    divide LIMB_BITS.
+    """
+    assert L.LIMB_BITS % c == 0, "window size must divide the limb width"
+    per_limb = L.LIMB_BITS // c
+    rows = []
+    for w in range(nwindows):
+        limb = scalars[(w * c) // L.LIMB_BITS]
+        sh = (w * c) % L.LIMB_BITS
+        rows.append(((limb >> sh) & ((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(rows, axis=0)
+
+
+def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
+        num_bits: int = 256):
+    """sum_i scalars[i] * points[i] over group K -> batch-1 Jacobian point.
+
+    points: Jacobian device batch ([.., n]); scalars: canonical limbs
+    [N_LIMBS, n].  n must be a multiple of `tiles` (pad with infinity or
+    zero-scalar pairs on the host if needed).
+    """
+    n = K.batch_of(points[0])
+    if tiles is None:
+        tiles = max(1, min(64, n // 4))
+    assert n % tiles == 0, "pad points to a multiple of the tile count"
+    m = n // tiles
+    nbuckets = 1 << c
+    W = (num_bits + c - 1) // c
+    WT = W * tiles
+
+    # [.., n] -> [m, .., T] step-major point tiles
+    pts = jax.tree.map(
+        lambda a: jnp.moveaxis(a.reshape(a.shape[:-1] + (m, tiles)), -2, 0),
+        points)
+
+    # digits [W, n] -> [W, m, T] -> [m, W*T] (w-major within a step)
+    dgs = _all_digits(scalars, c, W)
+    dgs = jnp.moveaxis(dgs.reshape(W, m, tiles), 1, 0).reshape(m, WT)
+
+    lane = jnp.arange(WT, dtype=jnp.int32) * nbuckets  # flat bucket bases
+
+    def acc_body(buckets, step):
+        pt, d = step                      # pt: [.., T]; d: [W*T]
+        ptw = jax.tree.map(lambda a: jnp.tile(a, W), pt)   # [.., W*T]
+        flat = lane + d
+        cur = jax.tree.map(lambda b: b[..., flat], buckets)
+        new = G.add(K, cur, ptw)
+        buckets = jax.tree.map(lambda b, nw: b.at[..., flat].set(nw),
+                               buckets, new)
+        return buckets, None
+
+    buckets, _ = jax.lax.scan(
+        acc_body, G.zero_point(K, WT * nbuckets), (pts, dgs))
+
+    # running-sum reduction over buckets 2^c-1 .. 1, all windows at once
+    bviews = jax.tree.map(
+        lambda b: b.reshape(b.shape[:-1] + (WT, nbuckets)), buckets)
+
+    def red_body(carry, b):
+        acc, total = carry
+        bb = jax.tree.map(lambda x: x[..., b], bviews)     # [.., W*T]
+        acc = G.add(K, acc, bb)
+        total = G.add(K, total, acc)
+        return (acc, total), None
+
+    init = (G.zero_point(K, WT), G.zero_point(K, WT))
+    (_, totals), _ = jax.lax.scan(
+        red_body, init, jnp.arange(nbuckets - 1, 0, -1, dtype=jnp.int32))
+
+    # totals [.., W*T] -> per-window [.., T] partials; Horner high->low as a
+    # scan (c doublings + 1 add per window)
+    tview = jax.tree.map(
+        lambda a: a.reshape(a.shape[:-1] + (W, tiles)), totals)
+
+    def horner_body(res, w_idx):
+        for _ in range(c):
+            res = G.double(K, res)
+        sw = jax.tree.map(lambda a: jnp.take(a, w_idx, axis=-2), tview)
+        return G.add(K, res, sw), None
+
+    result = jax.tree.map(lambda a: a[..., W - 1, :], tview)
+    result, _ = jax.lax.scan(
+        horner_body, result, jnp.arange(W - 2, -1, -1, dtype=jnp.int32))
+
+    # fold tiles: log2(T) tree
+    t = tiles
+    p = result
+    while t > 1:
+        half = t // 2
+        lo = jax.tree.map(lambda a: a[..., :half], p)
+        hi = jax.tree.map(lambda a: a[..., half:2 * half], p)
+        s = G.add(K, lo, hi)
+        if t % 2:
+            s = jax.tree.map(
+                lambda x, a: jnp.concatenate([x, a[..., 2 * half:]], axis=-1),
+                s, p)
+            t = half + 1
+        else:
+            t = half
+        p = s
+    return p
