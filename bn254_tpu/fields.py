@@ -126,6 +126,11 @@ class FieldCtx:
         (MSB-first square-and-multiply, fields/mod.rs:35-46)."""
         if e == 0:
             return self.ones(a.shape[1])
+        if _use_pallas(a.shape[1]) and self is FQ:
+            # whole ladder as ONE kernel (254 fused steps) instead of a
+            # scan of ~500 kernel launches
+            from . import pallas_fused as PF
+            return PF.fq_pow(a, e)
         bits = np.array(
             [(e >> i) & 1 for i in reversed(range(e.bit_length()))],
             dtype=np.bool_,

@@ -69,7 +69,13 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
     """
     n = K.batch_of(points[0])
     if tiles is None:
-        tiles = max(1, min(64, n // 4))
+        from .fields import _use_pallas
+        if _use_pallas(n) and n % 128 == 0 and n >= 512:
+            # fused-kernel path: keep every per-step batch >= 128 lanes so
+            # the Horner/fold stages stay on the Pallas kernels
+            tiles = 128
+        else:
+            tiles = max(1, min(64, n // 4))
     assert n % tiles == 0, "pad points to a multiple of the tile count"
     m = n // tiles
     nbuckets = 1 << c
@@ -130,9 +136,21 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
     result, _ = jax.lax.scan(
         horner_body, result, jnp.arange(W - 2, -1, -1, dtype=jnp.int32))
 
-    # fold tiles: log2(T) tree
-    t = tiles
+    # fold tiles: log2(T) tree.  On the fused path with a power-of-two
+    # tile count the batch stays CONSTANT (roll-and-add; lane 0 ends up
+    # holding the total) so every add remains a fused kernel call.
+    from .fields import _use_pallas
+
     p = result
+    t = tiles
+    if t > 1 and t & (t - 1) == 0 and _use_pallas(t):
+        k = 1
+        while k < t:
+            shifted = jax.tree.map(lambda a: jnp.roll(a, -k, axis=-1), p)
+            p = G.add(K, p, shifted)
+            k *= 2
+        return jax.tree.map(lambda a: a[..., :1], p)
+
     while t > 1:
         half = t // 2
         lo = jax.tree.map(lambda a: a[..., :half], p)

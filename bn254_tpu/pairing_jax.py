@@ -207,12 +207,34 @@ def miller_loop(coeffs, p_affine):
     return f
 
 
-def fq12_product_reduce(f):
-    """Product over the batch axis -> batch-1 Fq12 (log-depth tree).
+def fq12_product_reduce(f, keep_batch=False):
+    """Product over the batch axis (log-depth tree).
 
     The TPU replacement for the reference's serial per-pair folds in
     miller_loop_batch (mod.rs:614-628).
+
+    On the fused-kernel path with a power-of-two batch >= 128, the
+    reduction keeps the batch CONSTANT (roll-and-multiply: lane 0
+    accumulates the full product) so every step stays on the fused
+    kernels — shrinking batches would fall back to the huge unfused
+    graphs that the TPU AOT compiler cannot hold.  With keep_batch=True
+    the full-batch result is returned (product in lane 0) so callers can
+    run further full-batch ops (e.g. the final exponentiation) before
+    slicing.
     """
+    from .fields import _use_pallas
+
+    n = f[0][0][0].shape[-1]
+    if n > 1 and n & (n - 1) == 0 and _use_pallas(n):
+        k = 1
+        while k < n:
+            shifted = jax.tree.map(lambda a: jnp.roll(a, -k, axis=-1), f)
+            f = T.fq12_mul(f, shifted)
+            k *= 2
+        if keep_batch:
+            return f
+        return jax.tree.map(lambda a: a[..., :1], f)
+
     def halve(f, n):
         while n > 1:
             half = n // 2
@@ -229,16 +251,21 @@ def fq12_product_reduce(f):
             f = prod
         return f
 
-    n = f[0][0][0].shape[-1]
-    return halve(f, n)
+    out = halve(f, n)
+    if keep_batch:
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, a.shape[:-1] + (n,)), out)
+    return out
 
 
-def miller_loop_batch(g2_points, g1_points):
+def miller_loop_batch(g2_points, g1_points, keep_batch=False):
     """Un-exponentiated product of pairings over the batch axis.
 
     g2_points/g1_points: Jacobian device batches.  Pairs where either point
     is at infinity contribute f = 1 (mod.rs:911-920 silent-skip semantics).
-    Returns a batch-1 Fq12.
+    Returns a batch-1 Fq12, or (keep_batch=True) a full-batch Fq12 whose
+    lane 0 holds the product — so downstream ops can stay on the fused
+    kernels at full width.
     """
     pa, p_inf = G.to_affine(G.G1, g1_points)
     qa, q_inf = G.to_affine(G.G2, g2_points)
@@ -246,14 +273,21 @@ def miller_loop_batch(g2_points, g1_points):
     f = miller_loop(coeffs, pa)
     skip = p_inf | q_inf
     f = T.fq12_select(skip, T.fq12_ones(pa[0].shape[1]), f)
-    return fq12_product_reduce(f)
+    return fq12_product_reduce(f, keep_batch=keep_batch)
 
 
 def pairing_batch(g1_points, g2_points):
     """Reduced product-of-pairings (mod.rs:904-926): one shared final
-    exponentiation.  Returns a batch-1 Fq12 (the Gt element)."""
-    f = miller_loop_batch(g2_points, g1_points)
-    return T.fq12_final_exponentiation(f)
+    exponentiation.  Returns a batch-1 Fq12 (the Gt element).
+
+    The final exponentiation runs at FULL batch width on the fused path
+    (the product held in lane 0) and is sliced afterwards — a batch-1
+    tail would fall off the fused kernels into graphs the TPU AOT
+    compiler cannot hold.
+    """
+    f = miller_loop_batch(g2_points, g1_points, keep_batch=True)
+    out = T.fq12_final_exponentiation(f)
+    return jax.tree.map(lambda a: a[..., :1], out)
 
 
 def pairing(g1_point, g2_point):

@@ -159,7 +159,30 @@ class KCtx:
         return self.cond_sub(r)
 
     def sqr(self, a):
-        return self.mul(a, a)
+        """Montgomery square: off-diagonal products counted twice, so the
+        product phase does ~N^2/2 multiplies instead of N^2 (value-
+        identical to mul(a, a))."""
+        t = self.t_ref
+        t[...] = jnp.zeros_like(t[...])
+        for i in range(N):
+            p = a[i][None] * a[i:]        # [N-i,S,128], j = i..N-1
+            lo = p & MASK
+            hi = p >> LB
+            # diagonal once + off-diagonal twice: add full slice, then
+            # re-add the off-diagonal tail
+            t[2 * i:i + N] = t[2 * i:i + N] + lo
+            t[2 * i + 1:i + N + 1] = t[2 * i + 1:i + N + 1] + hi
+            if i + 1 < N:
+                t[2 * i + 1:i + N] = t[2 * i + 1:i + N] + lo[1:]
+                t[2 * i + 2:i + N + 1] = t[2 * i + 2:i + N + 1] + hi[1:]
+        for i in range(N):
+            m = (t[i] * self.qinv) & MASK
+            p = m[None] * self.q          # [N,S,128]
+            t[i:i + N] = t[i:i + N] + (p & MASK)
+            t[i + 1:i + N + 1] = t[i + 1:i + N + 1] + (p >> LB)
+            t[i + 1] = t[i + 1] + (t[i] >> LB)
+        r = self.norm_wide(t[N:2 * N])
+        return self.cond_sub(r)
 
     def select(self, mask, a, b):
         return jnp.where(mask[None], a, b)
@@ -807,6 +830,103 @@ def _unpack_g2(arr):
 
 def _unpack_coeffs(arr):
     return ((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5]))
+
+
+# ---------------------------------------------------------------------------
+# Whole-ladder pow kernels: the 254-step Fermat inversion and the 62-step
+# cyclotomic z-power run as a fori_loop INSIDE one kernel instead of ~500
+# sequential kernel launches from a lax.scan.  Exponent bits arrive as an
+# SMEM input (MSB-first, leading 1 dropped; res starts at the base).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _pow_call(which: str, batch: int, nbits: int, tile_s: int = _TILE_S):
+    mod = _fq_mod()
+    coords = {"fq_pow": 1, "fq12_cyc_pow": 12}[which]
+
+    def kernel(consts_ref, bits_ref, a_ref, out_ref, t_ref):
+        K = KCtx(mod, consts_ref, t_ref)
+        if which == "fq_pow":
+            a = a_ref[0]
+
+            def body(i, res):
+                res = K.sqr(res)
+                m = K.mul(res, a)
+                bit = bits_ref[i, 0]
+                return jnp.where(bit > 0, m, res)
+
+            res = jax.lax.fori_loop(0, nbits, body, a)
+            out_ref[0] = res
+        else:
+            a = _read_fq12(a_ref)
+
+            def body(i, res):
+                res = kfq12_cyclotomic_sqr(K, res)
+                m = kfq12_mul(K, a, res)
+                bit = bits_ref[i, 0]
+                sel = jnp.where(bit > 0, jnp.uint32(1), jnp.uint32(0))
+                mask = (sel > 0)[None, None]
+                return jax.tree.map(
+                    lambda x, y: jnp.where(mask, x, y), m, res)
+
+            res = jax.lax.fori_loop(0, nbits, body, a)
+            _write_fq12(out_ref, res)
+
+    sub = tile_s
+    while batch % (sub * 128) and sub > 1:
+        sub //= 2
+    grid = batch // (sub * 128)
+    const_spec = pl.BlockSpec((KCtx.N_CONST, N, 1, 128),
+                              lambda i: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    bits_spec = pl.BlockSpec((nbits, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
+    a_spec = pl.BlockSpec((coords, N, sub, 128), lambda i: (0, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(_shape3(coords, batch), jnp.uint32),
+        grid=(grid,),
+        in_specs=[const_spec, bits_spec, a_spec],
+        out_specs=a_spec,
+        scratch_shapes=[pltpu.VMEM((2 * N, sub, 128), jnp.uint32)],
+    )
+    consts_np = KCtx.const_rows(mod)
+
+    def run(a_packed, bits_np):
+        return _from3(call(jnp.asarray(consts_np), jnp.asarray(bits_np),
+                           _to3(a_packed, coords, batch)), coords, batch)
+
+    return run
+
+
+def _msb_bits(e: int) -> np.ndarray:
+    """MSB-first bits of e with the leading 1 dropped -> [nbits, 1] i32."""
+    nb = e.bit_length()
+    return np.array([[(e >> i) & 1] for i in range(nb - 2, -1, -1)],
+                    dtype=np.int32)
+
+
+def fq_pow(a, e: int):
+    """a^e with a STATIC exponent, one fused ladder kernel.
+
+    Matches fields.FieldCtx.pow_const bit-for-bit (MSB-first square-and-
+    multiply, fields/mod.rs:35-46)."""
+    assert e >= 1
+    batch = a.shape[1]
+    bits = _msb_bits(e)
+    if len(bits) == 0:
+        return a
+    return _pow_call("fq_pow", batch, len(bits))(a[None], bits)[0]
+
+
+def fq12_cyclotomic_pow_z(a):
+    """a^z for the BN parameter z (fq12.rs:249-267, z at :122), one fused
+    ladder kernel (62 cyclotomic squarings + 11 multiplies)."""
+    batch = a[0][0][0].shape[1]
+    bits = _msb_bits(C.Z)
+    return unpack_fq12(
+        _pow_call("fq12_cyc_pow", batch, len(bits))(pack(a), bits))
 
 
 def _unpack_point_g1(arr):

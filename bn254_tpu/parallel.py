@@ -72,10 +72,13 @@ def pairing_batch_sharded(mesh: Mesh, g1_points, g2_points, axis="data"):
                             T.fq12_ones(1))
 
     def local(p, q):
-        f = PJ.miller_loop_batch(q, p)                  # [.., 1] local fold
-        gathered = jax.lax.all_gather(f, axis)          # leaves [ndev, .., 1]
+        # full-batch local product (lane 0): keeps every op on the fused
+        # kernels on TPU; the all_gather payload is ndev local batches
+        f = PJ.miller_loop_batch(q, p, keep_batch=True)
+        gathered = jax.lax.all_gather(f, axis)          # [ndev, .., B]
         f = _fold_gathered(T.fq12_mul, gathered, ndev)
-        return T.fq12_final_exponentiation(f)
+        out = T.fq12_final_exponentiation(f)
+        return jax.tree.map(lambda a: a[..., :1], out)
 
     fn = shard_map(local, mesh=mesh, in_specs=(pspec, qspec),
                    out_specs=out_spec, check_rep=False)

@@ -484,11 +484,16 @@ def fq12_cyclotomic_sqr(a):
 
 def fq12_cyclotomic_pow_z(a):
     """a^z for the static BN parameter z = 4965661367192848881
-    (fq12.rs:249-267 driven by :122), as a lax.scan over z's bits."""
+    (fq12.rs:249-267 driven by :122), as a lax.scan over z's bits (one
+    fused ladder kernel on TPU)."""
     import numpy as np
     import jax
 
     batch = a[0][0][0].shape[1]
+    from .fields import _use_pallas
+    if _use_pallas(batch):
+        from . import pallas_fused as PF
+        return PF.fq12_cyclotomic_pow_z(a)
     e = C.Z
     nbits = e.bit_length()
     # MSB-first, skipping the leading 1 (res starts at a, exactly like the

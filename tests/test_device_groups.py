@@ -42,12 +42,8 @@ def test_add_double_neg_vs_spec(K):
     p = G.encode_points(K, pv)
     q = G.encode_points(K, qv)
 
-    @jax.jit
-    def run(p, q):
-        return (G.add(K, p, q), G.double(K, p), G.neg(K, p),
-                G.eq_points(K, p, q))
-
-    added, dbl, negd, eqs = run(p, q)
+    added, dbl, negd, eqs = (G.add(K, p, q), G.double(K, p), G.neg(K, p),
+                             G.eq_points(K, p, q))
     for got, a, b in zip(G.decode_points(K, added), pv, qv):
         assert SG.eq(got, SG.add(a, b, ops), ops)
     for got, a in zip(G.decode_points(K, dbl), pv):
@@ -69,7 +65,7 @@ def test_scalar_mul_vs_spec(K):
     p = G.encode_points(K, pv)
     k = jax.numpy.asarray(L.stack_ints(ks))
 
-    out = jax.jit(lambda p, k: G.scalar_mul(K, p, k))(p, k)
+    out = G.scalar_mul(K, p, k)
     for got, a, s in zip(G.decode_points(K, out), pv, ks):
         assert SG.eq(got, SG.scalar_mul(a, s, ops), ops)
 
@@ -82,12 +78,8 @@ def test_to_affine_and_checks(K):
 
     p = G.encode_points(K, pv)
 
-    @jax.jit
-    def run(p):
-        xy, inf = G.to_affine(K, p)
-        return xy, inf, G.on_curve(K, xy)
-
-    xy, inf, oc = run(p)
+    xy, inf = G.to_affine(K, p)
+    oc = G.on_curve(K, xy)
     inf = np.asarray(inf)
     oc = np.asarray(oc)
     xs = K.decode(xy[0])
@@ -113,18 +105,13 @@ def test_group_trials_laws():
     rv = _rand_points(K, rng, 6)
     p, q, r = (G.encode_points(K, v) for v in (pv, qv, rv))
 
-    @jax.jit
-    def run(p, q, r):
-        b = p[0].shape[1]
-        zero = G.zero_point(K, b)
-        lhs = G.add(K, G.add(K, p, q), r)
-        rhs = G.add(K, p, G.add(K, q, r))
-        assoc = G.eq_points(K, lhs, rhs)
-        idl = G.eq_points(K, G.add(K, p, zero), p)
-        inv = G.is_zero_point(K, G.add(K, p, G.neg(K, p)))
-        return assoc, idl, inv
-
-    assoc, idl, inv = run(p, q, r)
+    b = p[0].shape[1]
+    zero = G.zero_point(K, b)
+    lhs = G.add(K, G.add(K, p, q), r)
+    rhs = G.add(K, p, G.add(K, q, r))
+    assoc = G.eq_points(K, lhs, rhs)
+    idl = G.eq_points(K, G.add(K, p, zero), p)
+    inv = G.is_zero_point(K, G.add(K, p, G.neg(K, p)))
     assert np.asarray(assoc).all()
     assert np.asarray(idl).all()
     assert np.asarray(inv).all()
@@ -152,5 +139,5 @@ def test_g2_subgroup_check():
         x = (x[0] + 1, x[1])
     pts = good + [bad]
     xy = (G.G2.encode([p[0] for p in pts]), G.G2.encode([p[1] for p in pts]))
-    ok = np.asarray(jax.jit(lambda xy: G.in_subgroup(G.G2, xy))(xy))
+    ok = np.asarray(G.in_subgroup(G.G2, xy))
     assert ok[0] and ok[1] and not ok[2]

@@ -33,13 +33,10 @@ def test_fq2_ops_vs_spec():
     bv = [_rand_fq2(rng) for _ in range(B)] + [(Q - 1, Q - 1), (0, 0), (5, 7)]
     a, b = T.fq2_encode(av), T.fq2_encode(bv)
 
-    @jax.jit
-    def run(a, b):
-        return (T.fq2_add(a, b), T.fq2_sub(a, b), T.fq2_mul(a, b),
-                T.fq2_sqr(a), T.fq2_neg(a), T.fq2_inv(a),
-                T.fq2_mul_by_xi(a), T.fq2_conj(a))
-
-    add, sub, mul, sqr, neg, inv, xi, conj = run(a, b)
+    add, sub, mul, sqr, neg, inv, xi, conj = (
+        T.fq2_add(a, b), T.fq2_sub(a, b), T.fq2_mul(a, b),
+        T.fq2_sqr(a), T.fq2_neg(a), T.fq2_inv(a),
+        T.fq2_mul_by_xi(a), T.fq2_conj(a))
     assert T.fq2_decode(add) == [SF.fq2_add(x, y) for x, y in zip(av, bv)]
     assert T.fq2_decode(sub) == [SF.fq2_sub(x, y) for x, y in zip(av, bv)]
     assert T.fq2_decode(mul) == [SF.fq2_mul(x, y) for x, y in zip(av, bv)]
@@ -58,13 +55,10 @@ def test_fq6_ops_vs_spec():
     bv = [_rand_fq6(rng) for _ in range(B)]
     a, b = T.fq6_encode(av), T.fq6_encode(bv)
 
-    @jax.jit
-    def run(a, b):
-        return (T.fq6_mul(a, b), T.fq6_sqr(a), T.fq6_inv(a),
-                T.fq6_mul_by_nonresidue(a),
-                T.fq6_frob(a, 1), T.fq6_frob(a, 2), T.fq6_frob(a, 3))
-
-    mul, sqr, inv, nr, f1, f2, f3 = run(a, b)
+    mul, sqr, inv, nr, f1, f2, f3 = (
+        T.fq6_mul(a, b), T.fq6_sqr(a), T.fq6_inv(a),
+        T.fq6_mul_by_nonresidue(a),
+        T.fq6_frob(a, 1), T.fq6_frob(a, 2), T.fq6_frob(a, 3))
     assert T.fq6_decode(mul) == [SF.fq6_mul(x, y) for x, y in zip(av, bv)]
     assert T.fq6_decode(sqr) == [SF.fq6_sqr(x) for x in av]
     assert T.fq6_decode(inv) == [SF.fq6_inv(x) for x in av]
@@ -80,13 +74,10 @@ def test_fq12_ops_vs_spec():
     bv = [_rand_fq12(rng) for _ in range(B)]
     a, b = T.fq12_encode(av), T.fq12_encode(bv)
 
-    @jax.jit
-    def run(a, b):
-        return (T.fq12_mul(a, b), T.fq12_sqr(a), T.fq12_inv(a),
-                T.fq12_conj(a), T.fq12_frob(a, 1), T.fq12_frob(a, 2),
-                T.fq12_frob(a, 3), T.fq12_cyclotomic_sqr(a))
-
-    mul, sqr, inv, conj, f1, f2, f3, cyc = run(a, b)
+    mul, sqr, inv, conj, f1, f2, f3, cyc = (
+        T.fq12_mul(a, b), T.fq12_sqr(a), T.fq12_inv(a),
+        T.fq12_conj(a), T.fq12_frob(a, 1), T.fq12_frob(a, 2),
+        T.fq12_frob(a, 3), T.fq12_cyclotomic_sqr(a))
     assert T.fq12_decode(mul) == [SF.fq12_mul(x, y) for x, y in zip(av, bv)]
     assert T.fq12_decode(sqr) == [SF.fq12_sqr(x) for x in av]
     assert T.fq12_decode(inv) == [SF.fq12_inv(x) for x in av]
@@ -104,7 +95,7 @@ def test_fq12_mul_by_024_vs_spec():
     evv = [_rand_fq2(rng) for _ in range(B)]
     evw = [_rand_fq2(rng) for _ in range(B)]
 
-    out = jax.jit(T.fq12_mul_by_024)(
+    out = T.fq12_mul_by_024(
         T.fq12_encode(av), T.fq2_encode(e0), T.fq2_encode(evv),
         T.fq2_encode(evw))
     want = [SF.fq12_mul_by_024(x, a, w, v)
@@ -116,7 +107,6 @@ def test_fq12_golden_vector():
     """fields/mod.rs:94-227 on device: 100 muls + 10 sqr + scramble."""
     start = T.fq12_encode([golden.FQ12_VECTOR_START])
 
-    @jax.jit
     def run(start):
         nxt = start
         def mul_body(nxt, _):
@@ -137,14 +127,14 @@ def test_fq12_golden_vector():
 def test_cyclotomic_exp_golden():
     """fields/mod.rs:229-344 on device."""
     orig = T.fq12_encode([golden.CYCLOTOMIC_EXP_ORIG])
-    out = jax.jit(T.fq12_exp_by_neg_z)(orig)
+    out = T.fq12_exp_by_neg_z(orig)
     assert T.fq12_decode(out)[0] == golden.CYCLOTOMIC_EXP_EXPECTED
 
 
 def test_final_exponentiation_vs_spec():
     rng = random.Random(SEED + 4)
     av = [_rand_fq12(rng) for _ in range(3)]
-    out = jax.jit(T.fq12_final_exponentiation)(T.fq12_encode(av))
+    out = T.fq12_final_exponentiation(T.fq12_encode(av))
     assert T.fq12_decode(out) == [SF.fq12_final_exponentiation(x) for x in av]
 
 
@@ -154,7 +144,7 @@ def test_fq2_sqrt_vs_spec():
     sq = [_rand_fq2(rng) for _ in range(6)]
     vals = [SF.fq2_sqr(s) for s in sq]
     vals += [golden.SQRT_FQ2_ARG, SF.fq2_neg(SF.FQ2_ONE), (1, 2)]
-    root, ok = jax.jit(T.fq2_sqrt)(T.fq2_encode(vals))
+    root, ok = T.fq2_sqrt(T.fq2_encode(vals))
     root = T.fq2_decode(root)
     ok = np.asarray(ok)
     for v, r, m in zip(vals, root, ok):
