@@ -63,7 +63,9 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "4"))
 
-    p, q = _rand_pairs(batch)
+    # encode_points returns host numpy; put on device ONCE so the timed
+    # loop measures compute, not repeated host->device tunnel transfers
+    p, q = jax.device_put(_rand_pairs(batch))
     fn = jax.jit(PJ.pairing)          # per-element reduced pairings
 
     # compile + warmup

@@ -40,6 +40,7 @@ def main():
     rng = random.Random(42)
 
     def timeit(fn, *args, iters=8):
+        args = jax.device_put(args)   # keep host numpy off the timed path
         out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out))
         t0 = time.perf_counter()
