@@ -515,41 +515,69 @@ def fq12_exp_by_neg_z(a):
     return fq12_conj(fq12_cyclotomic_pow_z(a))
 
 
+def _staged(fn, *args):
+    """Compile barrier: run fn as a length-1 scan so XLA keeps its body a
+    separate computation.  On CPU, LLVM compile time of one huge function
+    is superlinear — the unfused final exponentiation as straight-line
+    code takes hours to compile; chunked, minutes.  No-op semantically.
+    """
+    import jax
+
+    def body(carry, xs):
+        return carry, fn(*xs)
+
+    _, out = jax.lax.scan(body, None,
+                          jax.tree.map(lambda x: x[None], args))
+    return jax.tree.map(lambda x: x[0], out)
+
+
 def fq12_final_exponentiation(a):
     """Easy chunk + Scott et al. hard chunk (fq12.rs:62-110).
 
     Branchless: a non-invertible (zero) input yields 0, never produced by
-    the Miller loop.
+    the Miller loop.  On the jnp (CPU) path the big sub-steps run behind
+    compile barriers (see _staged); on the fused TPU path the graph is
+    already small and stays flat.
     """
-    inv = fq12_inv(a)
-    c = fq12_mul(fq12_conj(a), inv)
-    f = fq12_mul(fq12_frob(c, 2), c)
+    from .fields import _use_pallas
+
+    batch = a[0][0][0].shape[1]
+    if _use_pallas(batch):
+        stage2 = fq12_mul
+        stage1 = lambda f, x: f(x)
+    else:
+        stage2 = lambda x, y: _staged(fq12_mul, x, y)
+        stage1 = lambda f, x: _staged(f, x)
+
+    inv = stage1(fq12_inv, a)
+    c = stage2(fq12_conj(a), inv)
+    f = stage2(fq12_frob(c, 2), c)
 
     a_ = fq12_exp_by_neg_z(f)
-    b = fq12_cyclotomic_sqr(a_)
-    c2 = fq12_cyclotomic_sqr(b)
-    d = fq12_mul(c2, b)
+    b = stage1(fq12_cyclotomic_sqr, a_)
+    c2 = stage1(fq12_cyclotomic_sqr, b)
+    d = stage2(c2, b)
 
     e = fq12_exp_by_neg_z(d)
-    f2 = fq12_cyclotomic_sqr(e)
+    f2 = stage1(fq12_cyclotomic_sqr, e)
     g = fq12_exp_by_neg_z(f2)
     h = fq12_conj(d)
     i = fq12_conj(g)
 
-    j = fq12_mul(i, e)
-    k = fq12_mul(j, h)
-    l = fq12_mul(k, b)
-    m = fq12_mul(k, e)
-    n = fq12_mul(f, m)
+    j = stage2(i, e)
+    k = stage2(j, h)
+    l = stage2(k, b)
+    m = stage2(k, e)
+    n = stage2(f, m)
 
     o = fq12_frob(l, 1)
-    p = fq12_mul(o, n)
+    p = stage2(o, n)
 
     q = fq12_frob(k, 2)
-    r = fq12_mul(q, p)
+    r = stage2(q, p)
 
     s = fq12_conj(f)
-    t = fq12_mul(s, l)
+    t = stage2(s, l)
     u = fq12_frob(t, 3)
-    v = fq12_mul(u, r)
+    v = stage2(u, r)
     return v

@@ -65,7 +65,7 @@ def test_scalar_mul_vs_spec(K):
     p = G.encode_points(K, pv)
     k = jax.numpy.asarray(L.stack_ints(ks))
 
-    out = G.scalar_mul(K, p, k)
+    out = jax.jit(lambda p, k: G.scalar_mul(K, p, k))(p, k)
     for got, a, s in zip(G.decode_points(K, out), pv, ks):
         assert SG.eq(got, SG.scalar_mul(a, s, ops), ops)
 
@@ -78,7 +78,7 @@ def test_to_affine_and_checks(K):
 
     p = G.encode_points(K, pv)
 
-    xy, inf = G.to_affine(K, p)
+    xy, inf = jax.jit(lambda p: G.to_affine(K, p))(p)
     oc = G.on_curve(K, xy)
     inf = np.asarray(inf)
     oc = np.asarray(oc)
@@ -139,5 +139,5 @@ def test_g2_subgroup_check():
         x = (x[0] + 1, x[1])
     pts = good + [bad]
     xy = (G.G2.encode([p[0] for p in pts]), G.G2.encode([p[1] for p in pts]))
-    ok = np.asarray(G.in_subgroup(G.G2, xy))
+    ok = np.asarray(jax.jit(lambda xy: G.in_subgroup(G.G2, xy))(xy))
     assert ok[0] and ok[1] and not ok[2]

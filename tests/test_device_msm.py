@@ -46,7 +46,7 @@ def test_msm_vs_spec():
 
     pd = G.encode_points(G.G1, pts)
     kd = jnp.asarray(L.stack_ints(ks))
-    out = M.msm(G.G1, pd, kd, tiles=4)
+    out = jax.jit(lambda p, k: M.msm(G.G1, p, k, tiles=4))(pd, kd)
     got = G.decode_points(G.G1, out)[0]
     assert SG.eq(got, _spec_msm(pts, ks, SG.G1_PARAMS[0]), SG.G1_PARAMS[0])
 
@@ -62,7 +62,7 @@ def test_msm_tile_invariance():
     kd = jnp.asarray(L.stack_ints(ks))
     want = _spec_msm(pts, ks, SG.G1_PARAMS[0])
     for tiles in (1, 2, 8):
-        out = M.msm(G.G1, pd, kd, tiles=tiles)
+        out = jax.jit(lambda p, k: M.msm(G.G1, p, k, tiles=tiles))(pd, kd)
         got = G.decode_points(G.G1, out)[0]
         assert SG.eq(got, want, SG.G1_PARAMS[0]), f"tiles={tiles}"
 
@@ -76,7 +76,7 @@ def test_msm_g2():
     ks = [rng.randrange(R) for _ in range(n)]
     pd = G.encode_points(G.G2, pts)
     kd = jnp.asarray(L.stack_ints(ks))
-    out = M.msm(G.G2, pd, kd, tiles=2)
+    out = jax.jit(lambda p, k: M.msm(G.G2, p, k, tiles=2))(pd, kd)
     got = G.decode_points(G.G2, out)[0]
     assert SG.eq(got, _spec_msm(pts, ks, ops), ops)
 

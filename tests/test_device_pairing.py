@@ -32,7 +32,7 @@ def test_prepared_g2_golden():
     count, first and last triples; full parity vs the spec precompute."""
     qa = golden.PREPARED_G2_Q
     xy = (G.G2.encode([qa[0]]), G.G2.encode([qa[1]]))
-    coeffs = P.precompute(xy)
+    coeffs = jax.jit(P.precompute)(xy)
 
     # decode: leaf arrays are [87, N_LIMBS, 1]
     def decode_triple(i):
@@ -56,7 +56,7 @@ def test_miller_loop_golden():
     q = _g2(golden.MILLER_G2_SCALAR)
     pd = G.encode_points(G.G1, [p])
     qd = G.encode_points(G.G2, [q])
-    f = P.miller_loop_batch(qd, pd)
+    f = jax.jit(P.miller_loop_batch)(qd, pd)
     assert T.fq12_decode(f)[0] == golden.MILLER_EXPECTED
 
 
@@ -64,8 +64,8 @@ def test_reduced_pairing_golden():
     """Full reduced pairing exact Fq12 (mod.rs:928-999)."""
     p = _g1(golden.MILLER_G1_SCALAR)
     q = _g2(golden.MILLER_G2_SCALAR)
-    out = P.pairing_batch(G.encode_points(G.G1, [p]),
-                          G.encode_points(G.G2, [q]))
+    out = jax.jit(P.pairing_batch)(G.encode_points(G.G1, [p]),
+                                   G.encode_points(G.G2, [q]))
     assert T.fq12_decode(out)[0] == golden.REDUCED_PAIRING_EXPECTED
 
 
@@ -79,8 +79,8 @@ def test_batch_pairing_vs_spec_with_infinity():
     ps[2] = SG.zero(SG.G1_PARAMS[0])   # infinity pair -> skipped
     qs[3] = SG.zero(SG.G2_PARAMS[0])
 
-    out = P.pairing_batch(G.encode_points(G.G1, ps),
-                          G.encode_points(G.G2, qs))
+    out = jax.jit(P.pairing_batch)(G.encode_points(G.G1, ps),
+                                   G.encode_points(G.G2, qs))
     assert T.fq12_decode(out)[0] == SG.pairing_batch(ps, qs)
 
 
@@ -89,8 +89,8 @@ def test_all_infinity_batch_is_identity():
     ps = [SG.zero(SG.G1_PARAMS[0])] * 2
     qs = [_g2(5), SG.zero(SG.G2_PARAMS[0])]
     qs, ps = qs, ps  # pair 0: inf G1; pair 1: inf both
-    out = P.pairing_batch(G.encode_points(G.G1, ps),
-                          G.encode_points(G.G2, qs))
+    out = jax.jit(P.pairing_batch)(G.encode_points(G.G1, ps),
+                                   G.encode_points(G.G2, qs))
     assert T.fq12_decode(out)[0] == SF.FQ12_ONE
 
 
@@ -105,7 +105,7 @@ def test_bilinearity():
 
     pd = G.encode_points(G.G1, [sp, p])
     qd = G.encode_points(G.G2, [q, sq])
-    out = P.pairing(pd, qd)
+    out = jax.jit(P.pairing)(pd, qd)
     e1, e2 = T.fq12_decode(out)
     assert e1 == e2 != SF.FQ12_ONE
     base = SG.pairing(p, q)

@@ -35,7 +35,7 @@ def test_fq2_ops_vs_spec():
 
     add, sub, mul, sqr, neg, inv, xi, conj = (
         T.fq2_add(a, b), T.fq2_sub(a, b), T.fq2_mul(a, b),
-        T.fq2_sqr(a), T.fq2_neg(a), T.fq2_inv(a),
+        T.fq2_sqr(a), T.fq2_neg(a), jax.jit(T.fq2_inv)(a),
         T.fq2_mul_by_xi(a), T.fq2_conj(a))
     assert T.fq2_decode(add) == [SF.fq2_add(x, y) for x, y in zip(av, bv)]
     assert T.fq2_decode(sub) == [SF.fq2_sub(x, y) for x, y in zip(av, bv)]
@@ -56,7 +56,7 @@ def test_fq6_ops_vs_spec():
     a, b = T.fq6_encode(av), T.fq6_encode(bv)
 
     mul, sqr, inv, nr, f1, f2, f3 = (
-        T.fq6_mul(a, b), T.fq6_sqr(a), T.fq6_inv(a),
+        T.fq6_mul(a, b), T.fq6_sqr(a), jax.jit(T.fq6_inv)(a),
         T.fq6_mul_by_nonresidue(a),
         T.fq6_frob(a, 1), T.fq6_frob(a, 2), T.fq6_frob(a, 3))
     assert T.fq6_decode(mul) == [SF.fq6_mul(x, y) for x, y in zip(av, bv)]
@@ -75,7 +75,7 @@ def test_fq12_ops_vs_spec():
     a, b = T.fq12_encode(av), T.fq12_encode(bv)
 
     mul, sqr, inv, conj, f1, f2, f3, cyc = (
-        T.fq12_mul(a, b), T.fq12_sqr(a), T.fq12_inv(a),
+        T.fq12_mul(a, b), T.fq12_sqr(a), jax.jit(T.fq12_inv)(a),
         T.fq12_conj(a), T.fq12_frob(a, 1), T.fq12_frob(a, 2),
         T.fq12_frob(a, 3), T.fq12_cyclotomic_sqr(a))
     assert T.fq12_decode(mul) == [SF.fq12_mul(x, y) for x, y in zip(av, bv)]
@@ -121,20 +121,20 @@ def test_fq12_golden_vector():
         nxt, _ = jax.lax.scan(scr_body, nxt, None, length=10)
         return T.fq12_sqr(nxt)
 
-    assert T.fq12_decode(run(start))[0] == golden.FQ12_VECTOR_EXPECTED
+    assert T.fq12_decode(jax.jit(run)(start))[0] == golden.FQ12_VECTOR_EXPECTED
 
 
 def test_cyclotomic_exp_golden():
     """fields/mod.rs:229-344 on device."""
     orig = T.fq12_encode([golden.CYCLOTOMIC_EXP_ORIG])
-    out = T.fq12_exp_by_neg_z(orig)
+    out = jax.jit(T.fq12_exp_by_neg_z)(orig)
     assert T.fq12_decode(out)[0] == golden.CYCLOTOMIC_EXP_EXPECTED
 
 
 def test_final_exponentiation_vs_spec():
     rng = random.Random(SEED + 4)
     av = [_rand_fq12(rng) for _ in range(3)]
-    out = T.fq12_final_exponentiation(T.fq12_encode(av))
+    out = jax.jit(T.fq12_final_exponentiation)(T.fq12_encode(av))
     assert T.fq12_decode(out) == [SF.fq12_final_exponentiation(x) for x in av]
 
 
@@ -144,7 +144,7 @@ def test_fq2_sqrt_vs_spec():
     sq = [_rand_fq2(rng) for _ in range(6)]
     vals = [SF.fq2_sqr(s) for s in sq]
     vals += [golden.SQRT_FQ2_ARG, SF.fq2_neg(SF.FQ2_ONE), (1, 2)]
-    root, ok = T.fq2_sqrt(T.fq2_encode(vals))
+    root, ok = jax.jit(T.fq2_sqrt)(T.fq2_encode(vals))
     root = T.fq2_decode(root)
     ok = np.asarray(ok)
     for v, r, m in zip(vals, root, ok):
