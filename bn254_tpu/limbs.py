@@ -110,6 +110,36 @@ class Mod:
 # ---------------------------------------------------------------------------
 # Device kernels (jnp; fully branchless; batch axis last)
 # ---------------------------------------------------------------------------
+#
+# Carry chains come in two spellings with identical values:
+#  * unrolled Python loops (default; what the TPU traces between Pallas
+#    kernels — cheap elementwise ops XLA fuses well), and
+#  * lax.scan-based (CPU: collapses each op's HLO ~5x, which is what keeps
+#    XLA:CPU's superlinear LLVM compile times tolerable for the
+#    interpreter-mode test suite).
+
+def _compact() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return False
+
+
+def _carry_scan(cols, c0):
+    """Sequential carry propagation over the limb axis via lax.scan.
+
+    cols: [N, B] column sums; c0: [B] initial carry.  Returns
+    ([N, B] limbs, [B] carry-out)."""
+    import jax
+
+    def body(c, col):
+        v = col + c
+        return v >> LIMB_BITS, v & MASK
+    c, limbs = jax.lax.scan(body, c0, cols)
+    return limbs, c
+
 
 def _carry_norm(cols):
     """Propagate carries over a list of [B] column sums -> ([N] limbs, carry).
@@ -132,6 +162,9 @@ def cond_sub(x, mod: Mod):
     16-limb chain is exactly the predicate x >= q.
     """
     notq = mod.notq
+    if _compact():
+        s, c = _carry_scan(x + notq, jnp.ones_like(x[0]))
+        return jnp.where((c > 0)[None], s, x)
     s = []
     c = jnp.ones_like(x[0])
     for k in range(N_LIMBS):
@@ -144,6 +177,9 @@ def cond_sub(x, mod: Mod):
 
 def add_mod(a, b, mod: Mod):
     """(a + b) mod q; inputs reduced, output reduced (arith.rs:281-288)."""
+    if _compact():
+        s, _ = _carry_scan(a + b, jnp.zeros_like(a[0]))
+        return cond_sub(s, mod)
     s = []
     c = None
     for k in range(N_LIMBS):
@@ -156,6 +192,10 @@ def add_mod(a, b, mod: Mod):
 
 def sub_mod(a, b, mod: Mod):
     """(a - b) mod q via a + q + ~b + 1 (mod 2^256) (arith.rs:290-297)."""
+    if _compact():
+        s, _ = _carry_scan(a + mod.q + ((~b) & MASK),
+                           jnp.ones_like(a[0]))
+        return cond_sub(s, mod)
     s = []
     c = jnp.ones_like(a[0])
     for k in range(N_LIMBS):
@@ -168,6 +208,9 @@ def sub_mod(a, b, mod: Mod):
 
 def neg_mod(a, mod: Mod):
     """(-a) mod q, branchless incl. a == 0 (q - 0 -> q -> cond_sub -> 0)."""
+    if _compact():
+        s, _ = _carry_scan(mod.q + ((~a) & MASK), jnp.ones_like(a[0]))
+        return cond_sub(s, mod)
     s = []
     c = jnp.ones_like(a[0])
     for k in range(N_LIMBS):
@@ -207,6 +250,27 @@ def _mont_reduce(cols, mod: Mod):
     16 serial steps of m = t_i * (-q^-1) mod 2^16; t += m*q << 16i; carry —
     the vector-column analogue of mul_reduce (arith.rs:525-545).
     """
+    if _compact():
+        import jax
+
+        B = cols.shape[1]
+        q = mod.q
+
+        def body(t, i):
+            ti = jax.lax.dynamic_index_in_dim(t, i, 0, keepdims=False)
+            m = (ti * mod.qinv) & MASK
+            p = m[None, :] * q
+            win = jax.lax.dynamic_slice(t, (i, 0), (N_LIMBS + 1, B))
+            win = win.at[:N_LIMBS].add(p & MASK)
+            win = win.at[1:N_LIMBS + 1].add(p >> LIMB_BITS)
+            win = win.at[1].add(win[0] >> LIMB_BITS)
+            return jax.lax.dynamic_update_slice(t, win, (i, 0)), None
+
+        t, _ = jax.lax.scan(body, cols,
+                            jnp.arange(N_LIMBS, dtype=jnp.int32))
+        limbs, _ = _carry_scan(t[N_LIMBS:], jnp.zeros_like(t[0]))
+        return cond_sub(limbs, mod)
+
     t = cols
     q = mod.q
     for i in range(N_LIMBS):
