@@ -45,11 +45,39 @@ def set_pallas(mode):
 _PALLAS_OK = None
 
 
+def _tape_rec():
+    """The active tape recorder, if the tape module is loaded and
+    recording (see tape.py — the CPU instruction-tape engine)."""
+    import sys
+
+    m = sys.modules.get(__package__ + ".tape")
+    return None if m is None else m._ACTIVE
+
+
+def _is_reg(x) -> bool:
+    return getattr(x, "_tape_reg", False)
+
+
 def _use_pallas(batch: int) -> bool:
     global _PALLAS_OK
     if batch % 128:
+        if _PALLAS_MODE is True:
+            # forced-on must not silently diverge (ADVICE r01): Mosaic
+            # kernels require batch % 128 == 0
+            raise ValueError(
+                f"BN254_PALLAS forced on, but batch {batch} is not a "
+                "multiple of 128 (fused kernels need 128-lane tiles)")
         return False
     if _PALLAS_MODE is not None:
+        if _PALLAS_MODE:
+            from . import pallas_kernels as PK
+            from . import pallas_fused as PF
+            if not (PK.available() or PF._INTERPRET):
+                raise RuntimeError(
+                    "BN254_PALLAS forced on, but no TPU backend is "
+                    "available (Mosaic kernels cannot lower on "
+                    f"{__import__('jax').default_backend()}); use "
+                    "pallas_fused.set_interpret(True) for CPU testing")
         return _PALLAS_MODE
     if _PALLAS_OK is None:
         from . import pallas_kernels as PK
@@ -77,53 +105,88 @@ class FieldCtx:
 
     # ---- device constants ----
     def zeros(self, batch: int):
+        rec = _tape_rec()
+        if rec is not None:
+            self._assert_tape_field()
+            return rec.zero()
         return L.zeros(batch)
 
     def ones(self, batch: int):
+        rec = _tape_rec()
+        if rec is not None:
+            self._assert_tape_field()
+            return rec.one()
         return L.broadcast_const(self.one_np, batch)
 
     def const(self, v: int, batch: int):
         """Canonical int -> broadcast Montgomery [N, B] device constant."""
+        rec = _tape_rec()
+        if rec is not None:
+            self._assert_tape_field()
+            return rec.const(v)
         return L.broadcast_const(self.mod.encode(v), batch)
+
+    def _assert_tape_field(self):
+        assert self.p == C.Q, "tape programs are Fq-only"
 
     # ---- arithmetic ----
     def add(self, a, b):
+        if _is_reg(a):
+            return a.rec.add(a, b)
         return L.add_mod(a, b, self.mod)
 
     def sub(self, a, b):
+        if _is_reg(a):
+            return a.rec.sub(a, b)
         return L.sub_mod(a, b, self.mod)
 
     def neg(self, a):
+        if _is_reg(a):
+            return a.rec.neg(a)
         return L.neg_mod(a, self.mod)
 
     def mul(self, a, b):
+        if _is_reg(a):
+            return a.rec.mul(a, b)
         if _use_pallas(a.shape[1]):
             from . import pallas_kernels as PK
             return PK.mont_mul(a, b, self.mod)
         return L.mont_mul(a, b, self.mod)
 
     def sqr(self, a):
+        if _is_reg(a):
+            return a.rec.sqr(a)
         if _use_pallas(a.shape[1]):
             from . import pallas_kernels as PK
             return PK.mont_sqr(a, self.mod)
         return L.mont_sqr(a, self.mod)
 
     def double(self, a):
+        if _is_reg(a):
+            return a.rec.add(a, a)
         return L.add_mod(a, a, self.mod)
 
     def is_zero(self, a):
+        if _is_reg(a):
+            return a.rec.is_zero(a)
         return L.is_zero(a)
 
     def eq(self, a, b):
+        if _is_reg(a):
+            return a.rec.eq(a, b)
         return L.eq(a, b)
 
     def select(self, mask, a, b):
+        if _is_reg(mask):
+            return mask.rec.select(mask, a, b)
         return L.select(mask, a, b)
 
     # ---- fixed-exponent power ladder ----
     def pow_const(self, a, e: int):
         """a^e for a STATIC exponent, via a lax.scan over its bits
         (MSB-first square-and-multiply, fields/mod.rs:35-46)."""
+        if _is_reg(a):
+            return a.rec.pow_const(a, e)
         if e == 0:
             return self.ones(a.shape[1])
         if _use_pallas(a.shape[1]) and self is FQ:

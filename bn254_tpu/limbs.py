@@ -127,6 +127,15 @@ def _compact() -> bool:
         return False
 
 
+def _pick(compact):
+    """Resolve an explicit compact= override (None -> backend default).
+
+    The tape executor (tape.py) passes compact=False: its scan body holds
+    ONE limb op, so the unrolled spelling compiles fine and avoids
+    nested-scan step overhead."""
+    return _compact() if compact is None else compact
+
+
 def _carry_scan(cols, c0):
     """Sequential carry propagation over the limb axis via lax.scan.
 
@@ -155,14 +164,14 @@ def _carry_norm(cols):
     return limbs, c
 
 
-def cond_sub(x, mod: Mod):
+def cond_sub(x, mod: Mod, compact=None):
     """x - q if x >= q else x, branchless (arith.rs:303-305 equivalent).
 
     Computes s = x + ~q + 1 (i.e. x - q mod 2^256); the carry-out of the
     16-limb chain is exactly the predicate x >= q.
     """
     notq = mod.notq
-    if _compact():
+    if _pick(compact):
         s, c = _carry_scan(x + notq, jnp.ones_like(x[0]))
         return jnp.where((c > 0)[None], s, x)
     s = []
@@ -175,9 +184,9 @@ def cond_sub(x, mod: Mod):
     return jnp.where(ge, jnp.stack(s), x)
 
 
-def add_mod(a, b, mod: Mod):
+def add_mod(a, b, mod: Mod, compact=None):
     """(a + b) mod q; inputs reduced, output reduced (arith.rs:281-288)."""
-    if _compact():
+    if _pick(compact):
         s, _ = _carry_scan(a + b, jnp.zeros_like(a[0]))
         return cond_sub(s, mod)
     s = []
@@ -187,12 +196,12 @@ def add_mod(a, b, mod: Mod):
         s.append(v & MASK)
         c = v >> LIMB_BITS
     # a + b < 2q < 2^256, so the final carry is 0.
-    return cond_sub(jnp.stack(s), mod)
+    return cond_sub(jnp.stack(s), mod, compact)
 
 
-def sub_mod(a, b, mod: Mod):
+def sub_mod(a, b, mod: Mod, compact=None):
     """(a - b) mod q via a + q + ~b + 1 (mod 2^256) (arith.rs:290-297)."""
-    if _compact():
+    if _pick(compact):
         s, _ = _carry_scan(a + mod.q + ((~b) & MASK),
                            jnp.ones_like(a[0]))
         return cond_sub(s, mod)
@@ -203,7 +212,7 @@ def sub_mod(a, b, mod: Mod):
         s.append(v & MASK)
         c = v >> LIMB_BITS
     # value = a + q - b in (0, 2q); drop the 2^256 wrap carry.
-    return cond_sub(jnp.stack(s), mod)
+    return cond_sub(jnp.stack(s), mod, compact)
 
 
 def neg_mod(a, mod: Mod):
@@ -244,13 +253,13 @@ def _mul_columns(a, b):
     return cols                                    # [2N, B]
 
 
-def _mont_reduce(cols, mod: Mod):
+def _mont_reduce(cols, mod: Mod, compact=None):
     """Montgomery reduction of [2N, B] product columns -> [N, B] < q.
 
     16 serial steps of m = t_i * (-q^-1) mod 2^16; t += m*q << 16i; carry —
     the vector-column analogue of mul_reduce (arith.rs:525-545).
     """
-    if _compact():
+    if _pick(compact):
         import jax
 
         B = cols.shape[1]
@@ -286,17 +295,17 @@ def _mont_reduce(cols, mod: Mod):
         t = t.at[i + 1].add(t[i] >> LIMB_BITS)
     limbs, _c = _carry_norm([t[N_LIMBS + k] for k in range(N_LIMBS)])
     # result < 2q < 2^256 so the top carry is 0
-    return cond_sub(jnp.stack(limbs), mod)
+    return cond_sub(jnp.stack(limbs), mod, compact)
 
 
-def mont_mul(a, b, mod: Mod):
+def mont_mul(a, b, mod: Mod, compact=None):
     """Montgomery product abR^-1 mod q of reduced [N, B] operands."""
-    return _mont_reduce(_mul_columns(a, b), mod)
+    return _mont_reduce(_mul_columns(a, b), mod, compact)
 
 
-def mont_sqr(a, mod: Mod):
+def mont_sqr(a, mod: Mod, compact=None):
     """Montgomery square (same cost as mul for now; symmetry TODO)."""
-    return _mont_reduce(_mul_columns(a, a), mod)
+    return _mont_reduce(_mul_columns(a, a), mod, compact)
 
 
 def is_zero(a):

@@ -75,7 +75,11 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
             # the Horner/fold stages stay on the Pallas kernels
             tiles = 128
         else:
-            tiles = max(1, min(64, n // 4))
+            # largest divisor of n that is <= min(64, n // 4), so the
+            # default never trips the divisibility assert (ADVICE r01)
+            cap = max(1, min(64, n // 4))
+            tiles = max((d for d in range(1, cap + 1) if n % d == 0),
+                        default=1)
     assert n % tiles == 0, "pad points to a multiple of the tile count"
     m = n // tiles
     nbuckets = 1 << c

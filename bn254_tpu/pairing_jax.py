@@ -121,12 +121,23 @@ def _mul_by_q(pt):
             T.fq2_mul(T.fq2_const(C.TWIST_MUL_BY_Q_Y, batch), T.fq2_conj(y)))
 
 
+def _tape_dispatch(a_leaf):
+    """tape.py engine when on the CPU backend (and not mid-recording)."""
+    if getattr(a_leaf, "_tape_reg", False):
+        return None
+    from . import tape
+    return tape if tape.use_tape() else None
+
+
 def precompute(q_affine):
     """87 line-coefficient triples per batch element (mod.rs:701-728).
 
     q_affine: affine G2 batch ((x, y) of Fq2 [N, B]).
     Returns coeffs pytree with leading axis 87 on every leaf.
     """
+    tp = _tape_dispatch(q_affine[0][0])
+    if tp is not None:
+        return tp.precompute(q_affine)
     batch = q_affine[0][0].shape[1]
     two_inv = F.const(pow(2, C.Q - 2, C.Q), batch)
     q_neg = (q_affine[0], T.fq2_neg(q_affine[1]))
@@ -267,6 +278,10 @@ def miller_loop_batch(g2_points, g1_points, keep_batch=False):
     lane 0 holds the product — so downstream ops can stay on the fused
     kernels at full width.
     """
+    tp = _tape_dispatch(g1_points[0])
+    if tp is not None:
+        return tp.miller_loop_batch(g2_points, g1_points,
+                                    keep_batch=keep_batch)
     pa, p_inf = G.to_affine(G.G1, g1_points)
     qa, q_inf = G.to_affine(G.G2, g2_points)
     coeffs = precompute(qa)
@@ -285,6 +300,9 @@ def pairing_batch(g1_points, g2_points):
     tail would fall off the fused kernels into graphs the TPU AOT
     compiler cannot hold.
     """
+    tp = _tape_dispatch(g1_points[0])
+    if tp is not None:
+        return tp.pairing_batch(g1_points, g2_points)
     f = miller_loop_batch(g2_points, g1_points, keep_batch=True)
     out = T.fq12_final_exponentiation(f)
     return jax.tree.map(lambda a: a[..., :1], out)
@@ -294,6 +312,9 @@ def pairing(g1_point, g2_point):
     """Single reduced pairing of batch-aligned points (mod.rs:894-902);
     infinity in either slot gives the GT identity.  Batched: returns a
     per-element Fq12 batch (no product reduction)."""
+    tp = _tape_dispatch(g1_point[0])
+    if tp is not None:
+        return tp.pairing(g1_point, g2_point)
     pa, p_inf = G.to_affine(G.G1, g1_point)
     qa, q_inf = G.to_affine(G.G2, g2_point)
     coeffs = precompute(qa)

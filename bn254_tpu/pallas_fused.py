@@ -43,6 +43,16 @@ MASK = L.MASK
 # default batch-lane tile per grid step (S sublanes x 128 lanes)
 _TILE_S = 8
 
+# interpret mode: run every fused kernel through the Pallas interpreter
+# (CPU) instead of Mosaic — used by tests/test_pallas_fused.py to verify
+# the fused kernels against the jnp limb path without TPU hardware.
+_INTERPRET = False
+
+
+def set_interpret(mode: bool):
+    global _INTERPRET
+    _INTERPRET = bool(mode)
+
 
 # ---------------------------------------------------------------------------
 # In-kernel field context
@@ -568,14 +578,15 @@ def _fq_mod():
     return _MOD_FQ
 
 
-def _specs(coord_counts, batch, tile_s):
+def _specs(coord_counts, batch, tile_s, interpret=False):
     sub = tile_s
     while batch % (sub * 128) and sub > 1:
         sub //= 2
     grid = batch // (sub * 128)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
     specs = [
         pl.BlockSpec((c, N, sub, 128), lambda i: (0, 0, i, 0),
-                     memory_space=pltpu.VMEM)
+                     memory_space=ms)
         for c in coord_counts
     ]
     return grid, sub, specs
@@ -593,8 +604,12 @@ def _from3(a, c, batch):
     return a.reshape(c, N, batch)
 
 
-@functools.lru_cache(maxsize=None)
 def _call(which: str, batch: int, tile_s: int = _TILE_S):
+    return _call_impl(which, batch, tile_s, _INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _call_impl(which: str, batch: int, tile_s: int, interpret: bool):
     """Build (and cache) the pallas_call wrapper for a fused op."""
     mod = _fq_mod()
 
@@ -662,11 +677,11 @@ def _call(which: str, batch: int, tile_s: int = _TILE_S):
             raise ValueError(which)
 
     def build(batch):
-        grid, sub, in_specs = _specs(in_coords, batch, tile_s)
-        _, _, out_specs = _specs(out_coords, batch, tile_s)
-        const_spec = pl.BlockSpec((KCtx.N_CONST, N, 1, 128),
-                                  lambda i: (0, 0, 0, 0),
-                                  memory_space=pltpu.VMEM)
+        grid, sub, in_specs = _specs(in_coords, batch, tile_s, interpret)
+        _, _, out_specs = _specs(out_coords, batch, tile_s, interpret)
+        const_spec = pl.BlockSpec(
+            (KCtx.N_CONST, N, 1, 128), lambda i: (0, 0, 0, 0),
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct(_shape3(c, batch),
@@ -676,6 +691,7 @@ def _call(which: str, batch: int, tile_s: int = _TILE_S):
             in_specs=[const_spec] + in_specs,
             out_specs=tuple(out_specs),
             scratch_shapes=[pltpu.VMEM((2 * N, sub, 128), jnp.uint32)],
+            interpret=interpret,
         )
 
     call = build(batch)
@@ -839,8 +855,13 @@ def _unpack_coeffs(arr):
 # SMEM input (MSB-first, leading 1 dropped; res starts at the base).
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
 def _pow_call(which: str, batch: int, nbits: int, tile_s: int = _TILE_S):
+    return _pow_call_impl(which, batch, nbits, tile_s, _INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_call_impl(which: str, batch: int, nbits: int, tile_s: int,
+                   interpret: bool):
     mod = _fq_mod()
     coords = {"fq_pow": 1, "fq12_cyc_pow": 12}[which]
 
@@ -876,13 +897,15 @@ def _pow_call(which: str, batch: int, nbits: int, tile_s: int = _TILE_S):
     while batch % (sub * 128) and sub > 1:
         sub //= 2
     grid = batch // (sub * 128)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
     const_spec = pl.BlockSpec((KCtx.N_CONST, N, 1, 128),
                               lambda i: (0, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
+                              memory_space=ms)
     bits_spec = pl.BlockSpec((nbits, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
+                             memory_space=pltpu.ANY if interpret
+                             else pltpu.SMEM)
     a_spec = pl.BlockSpec((coords, N, sub, 128), lambda i: (0, 0, i, 0),
-                          memory_space=pltpu.VMEM)
+                          memory_space=ms)
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(_shape3(coords, batch), jnp.uint32),
@@ -890,6 +913,7 @@ def _pow_call(which: str, batch: int, nbits: int, tile_s: int = _TILE_S):
         in_specs=[const_spec, bits_spec, a_spec],
         out_specs=a_spec,
         scratch_shapes=[pltpu.VMEM((2 * N, sub, 128), jnp.uint32)],
+        interpret=interpret,
     )
     consts_np = KCtx.const_rows(mod)
 

@@ -72,6 +72,17 @@ def pairing_batch_sharded(mesh: Mesh, g1_points, g2_points, axis="data"):
                             T.fq12_ones(1))
 
     def local(p, q):
+        from . import tape
+        if tape.use_tape():
+            # CPU mesh: per-device Miller product as a tape program, a
+            # constant-size all_gather of [ndev] batch-1 partials, then
+            # one fold+final-exp tape program (replicated).
+            f = tape.miller_loop_batch(q, p)            # [.., 1]
+            gathered = jax.lax.all_gather(f, axis)      # [ndev, .., 1]
+            f = jax.tree.map(
+                lambda a: jnp.moveaxis(a, 0, -1).reshape(a.shape[1], ndev),
+                gathered)
+            return tape.reduce_final_exp(f)
         # full-batch local product (lane 0): keeps every op on the fused
         # kernels on TPU; the all_gather payload is ndev local batches
         f = PJ.miller_loop_batch(q, p, keep_batch=True)

@@ -20,10 +20,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import limbs as L
-from .fields import FQ
+from .fields import FQ, _is_reg
 from .spec import constants as C
 
 F = FQ  # the base-field context
+
+
+def _tape_dispatch(a_leaf):
+    """The tape module, when this call should run as a recorded
+    instruction-tape program (CPU backend, not currently recording) —
+    see tape.py.  a_leaf: any Fq leaf of the input (to skip dispatch
+    while recording, when leaves are TapeRegs)."""
+    if _is_reg(a_leaf):
+        return None
+    from . import tape
+    return tape if tape.use_tape() else None
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +155,9 @@ def fq2_sqrt(a):
     non-residues.  Only used on the decompression path, so the fixed
     ladders' cost is acceptable.
     """
+    tp = _tape_dispatch(a[0])
+    if tp is not None:
+        return tp.fq2_sqrt(a)
     batch = a[0].shape[1]
     a1 = _fq2_pow_scan(a, C.FQ_MINUS3_DIV4)
     a1a = fq2_mul(a1, a)
@@ -166,6 +180,18 @@ def _fq2_pow_scan(a, e: int):
     ~254-bit decompression exponents)."""
     import numpy as np
     import jax
+
+    if _is_reg(a[0]):
+        # tape recording: unroll with static bits (value-identical to the
+        # select-based scan — leading-bit start vs ones+select agree)
+        if e == 0:
+            return fq2_ones(1)
+        res = a
+        for i in reversed(range(e.bit_length() - 1)):
+            res = fq2_sqr(res)
+            if (e >> i) & 1:
+                res = fq2_mul(res, a)
+        return res
 
     batch = a[0].shape[1]
     if e == 0:
@@ -489,6 +515,16 @@ def fq12_cyclotomic_pow_z(a):
     import numpy as np
     import jax
 
+    if _is_reg(a[0][0][0]):
+        # tape recording: unroll the static 63-bit ladder
+        res = a
+        e = C.Z
+        for i in reversed(range(e.bit_length() - 1)):
+            res = fq12_cyclotomic_sqr(res)
+            if (e >> i) & 1:
+                res = fq12_mul(a, res)
+        return res
+
     batch = a[0][0][0].shape[1]
     from .fields import _use_pallas
     if _use_pallas(batch):
@@ -512,6 +548,9 @@ def fq12_cyclotomic_pow_z(a):
 
 def fq12_exp_by_neg_z(a):
     """(fq12.rs:121-124)."""
+    tp = _tape_dispatch(a[0][0][0])
+    if tp is not None:
+        return tp.exp_by_neg_z(a)
     return fq12_conj(fq12_cyclotomic_pow_z(a))
 
 
@@ -522,6 +561,9 @@ def _staged(fn, *args):
     code takes hours to compile; chunked, minutes.  No-op semantically.
     """
     import jax
+
+    if any(_is_reg(leaf) for leaf in jax.tree.leaves(args)):
+        return fn(*args)  # tape recording: barriers are meaningless
 
     def body(carry, xs):
         return carry, fn(*xs)
@@ -539,6 +581,10 @@ def fq12_final_exponentiation(a):
     compile barriers (see _staged); on the fused TPU path the graph is
     already small and stays flat.
     """
+    tp = _tape_dispatch(a[0][0][0])
+    if tp is not None:
+        return tp.final_exponentiation(a)
+
     from .fields import _use_pallas
 
     batch = a[0][0][0].shape[1]

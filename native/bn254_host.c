@@ -371,11 +371,15 @@ static void fq6_inv(fq6 *r, const fq6 *a) {          /* fq6.rs:179-192 */
 
 static void fq6_frob(fq6 *r, const fq6 *a, int power) { /* fq6.rs:125-131 */
     fq2 t;
+    /* the coefficient tables only carry powers 0-3, matching the
+       reference's unimplemented!() for higher powers (fq6.rs:5-90) —
+       fail fast instead of silently using the wrong coefficient */
+    if (power % 6 >= 4) abort();
     fq2_frob(&r->c0, &a->c0, power);
     fq2_frob(&t, &a->c1, power);
-    fq2_mul(&r->c1, &t, &FROB6_C1_M[power % 6 < 4 ? power % 6 : 0]);
+    fq2_mul(&r->c1, &t, &FROB6_C1_M[power % 6]);
     fq2_frob(&t, &a->c2, power);
-    fq2_mul(&r->c2, &t, &FROB6_C2_M[power % 6 < 4 ? power % 6 : 0]);
+    fq2_mul(&r->c2, &t, &FROB6_C2_M[power % 6]);
 }
 
 /* ------------------------------------------------------------------ */
@@ -434,9 +438,10 @@ static void fq12_conj(fq12 *r, const fq12 *a) {      /* fq12.rs:126 */
 
 static void fq12_frob(fq12 *r, const fq12 *a, int power) { /* :112-119 */
     fq6 t;
+    if (power % 12 >= 4) abort();  /* table carries powers 0-3 only */
     fq6_frob(&r->c0, &a->c0, power);
     fq6_frob(&t, &a->c1, power);
-    fq6_scale(&r->c1, &t, &FROB12_C1_M[power % 12 < 4 ? power % 12 : 0]);
+    fq6_scale(&r->c1, &t, &FROB12_C1_M[power % 12]);
 }
 
 /* sparse line multiply, 13 fq2 muls (fq12.rs:130-196) */
