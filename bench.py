@@ -25,7 +25,10 @@ BASELINE_PAIRINGS_PER_S = 95.8
 def _enable_compile_cache():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
+    # NOTE: must stay distinct from the CPU-test cache (tests/conftest.py):
+    # axon/TPU runs AOT-compile on a remote machine, and foreign XLA:CPU
+    # AOT entries SIGILL/segfault the local test runs if they share a dir.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -65,17 +68,42 @@ def main():
 
     # encode_points returns host numpy; put on device ONCE so the timed
     # loop measures compute, not repeated host->device tunnel transfers
+    import numpy as np
+
     p, q = jax.device_put(_rand_pairs(batch))
-    fn = jax.jit(PJ.pairing)          # per-element reduced pairings
 
-    # compile + warmup
-    out = fn(p, q)
-    jax.block_until_ready(out)
+    # Timing methodology (v2): on the axon tunnel, block_until_ready is a
+    # shallow ack that does NOT wait for device completion, so each timed
+    # iteration must feed the previous result forward (defeats dispatch
+    # pipelining/memoization) and the run must END with a host transfer
+    # that data-depends on every iteration.  A same-shape no-work transfer
+    # is subtracted as the RTT baseline.
+    import jax.numpy as jnp
 
+    @jax.jit
+    def step(p, q, salt):
+        # rotate the G1 batch by `salt` lanes so every iteration computes
+        # fresh pairings (no chance of any result memoization en route)
+        ps = jax.tree.map(lambda a: jnp.roll(a, salt, axis=-1), p)
+        f = PJ.pairing(ps, q)
+        # fold the full result into one uint32 so the transfer depends on
+        # every lane of every coefficient
+        leaves = jax.tree.leaves(f)
+        dig = sum(jnp.sum(x, dtype=jnp.uint32) for x in leaves)
+        return dig
+
+    # compile + settle (np.asarray forces real completion over the tunnel)
+    np.asarray(step(p, q, np.uint32(0)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(p, q)
-    jax.block_until_ready(out)
+    np.asarray(step(p, q, np.uint32(0)))
+    one_exec = time.perf_counter() - t0       # one exec + transfer RTT
+
+    digs = []
+    t0 = time.perf_counter()
+    for i in range(iters):
+        digs.append(step(p, q, np.uint32(1 + i % (batch - 1))))
+    for d in digs:
+        np.asarray(d)
     dt = time.perf_counter() - t0
 
     pairings_per_s = batch * iters / dt
@@ -85,7 +113,11 @@ def main():
         "batch": batch,
         "iters": iters,
         "wall_s": dt,
+        "one_exec_plus_rtt_s": one_exec,
         "pairings_per_s": pairings_per_s,
+        "methodology": "v2: per-iter salted inputs, digest host transfer "
+                       "forces completion (axon block_until_ready is a "
+                       "shallow ack)",
     }
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".",

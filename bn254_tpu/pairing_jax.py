@@ -218,6 +218,25 @@ def miller_loop(coeffs, p_affine):
     return f
 
 
+def _miller_f_fused(qa, pa):
+    """Fused-kernel Miller loop: one kernel for the 85 scheduled steps
+    (precompute interleaved with the fold — see pallas_fused
+    miller_precompute), then the 2 Frobenius addition steps + folds
+    (mod.rs:717-721, :630-638) on the step kernels.  Bit-exact vs
+    precompute() + miller_loop()."""
+    from . import pallas_fused as PF
+
+    f, r = PF.miller_precompute(qa, pa, _PRE_KINDS.reshape(-1, 1))
+    q1 = _mul_by_q(qa)
+    q2 = _mul_by_q(q1)
+    q2 = (q2[0], T.fq2_neg(q2[1]))
+    r, c86 = PF.g2_add_step(r, q1)
+    f = PF.fq12_fold_line(f, c86, pa[0], pa[1])
+    r, c87 = PF.g2_add_step(r, q2)
+    f = PF.fq12_fold_line(f, c87, pa[0], pa[1])
+    return f
+
+
 def fq12_product_reduce(f, keep_batch=False):
     """Product over the batch axis (log-depth tree).
 
@@ -284,8 +303,11 @@ def miller_loop_batch(g2_points, g1_points, keep_batch=False):
                                     keep_batch=keep_batch)
     pa, p_inf = G.to_affine(G.G1, g1_points)
     qa, q_inf = G.to_affine(G.G2, g2_points)
-    coeffs = precompute(qa)
-    f = miller_loop(coeffs, pa)
+    from .fields import _use_pallas
+    if _use_pallas(pa[0].shape[1]):
+        f = _miller_f_fused(qa, pa)
+    else:
+        f = miller_loop(precompute(qa), pa)
     skip = p_inf | q_inf
     f = T.fq12_select(skip, T.fq12_ones(pa[0].shape[1]), f)
     return fq12_product_reduce(f, keep_batch=keep_batch)
@@ -317,8 +339,11 @@ def pairing(g1_point, g2_point):
         return tp.pairing(g1_point, g2_point)
     pa, p_inf = G.to_affine(G.G1, g1_point)
     qa, q_inf = G.to_affine(G.G2, g2_point)
-    coeffs = precompute(qa)
-    f = miller_loop(coeffs, pa)
+    from .fields import _use_pallas
+    if _use_pallas(pa[0].shape[1]):
+        f = _miller_f_fused(qa, pa)
+    else:
+        f = miller_loop(precompute(qa), pa)
     skip = p_inf | q_inf
     f = T.fq12_select(skip, T.fq12_ones(pa[0].shape[1]), f)
     return T.fq12_final_exponentiation(f)

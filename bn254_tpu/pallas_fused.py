@@ -58,91 +58,89 @@ def set_interpret(mode: bool):
 # In-kernel field context
 # ---------------------------------------------------------------------------
 
+def _where(cond, x, y):
+    """Select that stays in python when everything is constant (lets whole
+    constant subexpressions — e.g. ops on the baked b2/two_inv limb
+    tuples — fold at trace time)."""
+    if isinstance(cond, (bool, np.bool_)):
+        return x if cond else y
+    return jnp.where(cond, x, y)
+
+
 class KCtx:
-    """Per-modulus constants + the VMEM scratch ref, threaded through the
-    in-kernel formulas.
+    """Per-modulus constants threaded through the in-kernel formulas.
 
-    Pallas kernels may not capture array constants, so the constant rows
-    (q, ~q, one-hot-0, 2^-1, b2) arrive as a [N_CONST, N, 1] input ref.
-    """
+    Representation: an Fq value inside a kernel is a LIST of N per-limb
+    [sub, 128] uint32 arrays — each limb one native vreg stack — with
+    sequential carry chains, exactly the spelling of
+    pallas_kernels._mont_mul_body (which sustains ~20x the throughput of
+    row-sliced [N, sub, 128] arithmetic: strided slice read-modify-writes
+    hit a VMEM bandwidth/alignment wall, per scripts/bench_mont.py).
+    Field constants are python-int limb tuples, so constant operands fold
+    into scalar-vector instructions (and pallas_call needs no constant
+    input rows at all)."""
 
-    N_CONST = 6  # q, notq, one0, two_inv, b2.c0, b2.c1
-
-    @staticmethod
-    def const_rows(mod: L.Mod) -> np.ndarray:
-        # lane-broadcast ([.., 1, 128]) so in-kernel broadcasts are
-        # sublane-only (Mosaic cannot broadcast sublanes+lanes at once)
-        rows = np.zeros((KCtx.N_CONST, N, 1, 1), np.uint32)
-        rows[0, :, 0, 0] = mod.q_np
-        rows[1, :, 0, 0] = mod.notq_np
-        rows[2, 0, 0, 0] = 1
-        rows[3, :, 0, 0] = mod.encode(pow(2, mod.modulus - 2, mod.modulus))
-        rows[4, :, 0, 0] = mod.encode(C.B2[0] % mod.modulus)
-        rows[5, :, 0, 0] = mod.encode(C.B2[1] % mod.modulus)
-        return np.repeat(rows, 128, axis=3)        # [NC, N, 1, 128]
-
-    def __init__(self, mod: L.Mod, consts_ref, t_ref):
-        self.q = consts_ref[0]                      # [N, 1, 128]
-        self.notq = consts_ref[1]
-        self.one_at_0 = consts_ref[2]
-        self.two_inv = consts_ref[3]
-        self.b2 = (consts_ref[4], consts_ref[5])
+    def __init__(self, mod: L.Mod):
+        self.q = tuple(int(x) for x in mod.q_np)
+        self.notq = tuple(int(x) for x in mod.notq_np)
         self.qinv = int(mod.qinv)
-        self.t_ref = t_ref
+        enc = lambda v: tuple(int(x) for x in mod.encode(v % mod.modulus))
+        self.two_inv = enc(pow(2, mod.modulus - 2, mod.modulus))
+        self.b2 = (enc(C.B2[0]), enc(C.B2[1]))
+        self.mont_one = enc(1)
 
-    # -- carry helpers ----------------------------------------------------
+    # -- constants --------------------------------------------------------
 
-    @staticmethod
-    def _shift_up(x, d):
-        """x[k] -> position k+d along the limb axis (zeros shifted in)."""
-        return jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
+    def const_fq(self, int_limbs, like):
+        """Materialize an int-limb tuple as arrays shaped like `like`."""
+        return [jnp.full_like(like, v) for v in int_limbs]
 
-    def _ripple(self, s):
-        """Resolve single-bit carries: s limbs <= 2^17-1 with the property
-        that adding the carried bits can ripple.  Returns (limbs, carry_out)
-        via a Kogge-Stone prefix over (generate, propagate)."""
-        l = s & MASK
-        c = s >> LB                       # in {0,1}
-        # add the carry of limb k into limb k+1: G/P prefix
-        g = c.astype(jnp.uint32)
-        p = (l == MASK).astype(jnp.uint32)
-        for d in (1, 2, 4, 8):
-            g = g | (p & self._shift_up(g, d))
-            p = p & self._shift_up(p, d)
-        carry_in = self._shift_up(g, 1)
-        out = (l + carry_in) & MASK
-        return out, g[N - 1]
+    def zero_fq(self, like):
+        z = jnp.zeros_like(like)
+        return [z] * N
 
-    def norm_wide(self, r):
-        """Carry-normalize rows with multi-bit carries (< 2^23)."""
-        l = r & MASK
-        c = r >> LB                       # up to ~2^7
-        s = l + self._shift_up(c, 1)      # limbs < 2^17
-        out, _ = self._ripple(s)
-        return out
+    # -- field ops (limb lists in, limb lists out) ------------------------
 
-    def cond_sub(self, r):
-        """r - q if r >= q, branchless (limbs.cond_sub)."""
-        v = r + self.notq + self.one_at_0     # limbs < 2^17
-        s, carry_out = self._ripple(v)
-        ge = (carry_out > 0)[None]
-        return jnp.where(ge, s, r)
-
-    # -- field ops --------------------------------------------------------
+    def cond_sub(self, limbs):
+        """r - q if r >= q, branchless (borrow-free: r + ~q + 1; the
+        carry-out of the chain is exactly r >= q)."""
+        s = []
+        c = None
+        for k in range(N):
+            v = limbs[k] + self.notq[k] + (1 if c is None else c)
+            s.append(v & MASK)
+            c = v >> LB
+        ge = c > 0
+        return [_where(ge, sk, lk) for sk, lk in zip(s, limbs)]
 
     def add(self, a, b):
-        s, _ = self._ripple(a + b)        # a+b < 2q < 2^256: no carry-out
+        s = []
+        c = None
+        for k in range(N):
+            v = a[k] + b[k] if c is None else a[k] + b[k] + c
+            s.append(v & MASK)
+            c = v >> LB
         return self.cond_sub(s)
 
     def sub(self, a, b):
-        v = a + self.q + ((~b) & MASK) + self.one_at_0  # < 3*2^16: 2-bit c
-        s = (v & MASK) + self._shift_up(v >> LB, 1)
-        s, _ = self._ripple(s)            # drop the 2^256 wrap
+        """a - b mod q via a + q + ~b + 1 (drop the 2^256 wrap)."""
+        s = []
+        c = None
+        for k in range(N):
+            nb = (~b[k]) & MASK
+            v = a[k] + self.q[k] + nb + (1 if c is None else c)
+            s.append(v & MASK)
+            c = v >> LB
         return self.cond_sub(s)
 
     def neg(self, a):
-        v = self.q + ((~a) & MASK) + self.one_at_0
-        s, _ = self._ripple(v)
+        s = []
+        c = None
+        for k in range(N):
+            na = (~a[k]) & MASK
+            v = self.q[k] + na + (1 if c is None else c)
+            s.append(v & MASK)
+            c = v >> LB
         return self.cond_sub(s)
 
     def double(self, a):
@@ -152,56 +150,112 @@ class KCtx:
         return self.add(self.double(self.double(self.double(a))), a)
 
     def mul(self, a, b):
-        """Montgomery product via the shared [2N,S,128] scratch."""
-        t = self.t_ref
-        t[...] = jnp.zeros_like(t[...])
+        """CIOS Montgomery product (HAC 14.32; reference arith.rs:525-545)
+        on limb lists; identical math to pallas_kernels._mont_mul_body /
+        limbs.mont_mul.  Column sums stay < 2^23 — no u32 overflow."""
+        t = [None] * (2 * N)
+
+        def acc(k, v):
+            t[k] = v if t[k] is None else t[k] + v
+
         for i in range(N):
-            p = a[i][None] * b            # [N,S,128]
-            t[i:i + N] = t[i:i + N] + (p & MASK)
-            t[i + 1:i + N + 1] = t[i + 1:i + N + 1] + (p >> LB)
+            ai = a[i]
+            for j in range(N):
+                p = ai * b[j]
+                acc(i + j, p & MASK)
+                acc(i + j + 1, p >> LB)
+        return self._mont_reduce_tail(t)
+
+    def mul_cios(self, a, b):
+        """Interleaved CIOS Montgomery product (same math as mul()): the
+        running value t holds N+2 limbs instead of 2N (peak live vregs
+        ~36 vs ~64).  Measured on v5e (scripts/bench_mont.py, honest
+        chained+transfer timing): 1.89 G/s vs mul()'s 2.06 G/s — register
+        pressure is NOT the bottleneck at these sizes, so mul() stays the
+        default; this variant is kept as the measured record.  Deferred
+        carries: per round t[j] gains 4 sub-2^16 terms, so over N=16
+        rounds column sums stay < 2^23 — no u32 overflow, and m_i only
+        needs t[0] mod 2^16 which survives deferral."""
+        t = [None] * (N + 2)
+
+        def add(k, v):
+            t[k] = v if t[k] is None else t[k] + v
+
         for i in range(N):
-            m = (t[i] * self.qinv) & MASK
-            p = m[None] * self.q          # [N,S,128]
-            t[i:i + N] = t[i:i + N] + (p & MASK)
-            t[i + 1:i + N + 1] = t[i + 1:i + N + 1] + (p >> LB)
-            t[i + 1] = t[i + 1] + (t[i] >> LB)
-        r = self.norm_wide(t[N:2 * N])
-        return self.cond_sub(r)
+            ai = a[i]
+            for j in range(N):
+                p = ai * b[j]
+                add(j, p & MASK)
+                add(j + 1, p >> LB)
+            m = ((t[0] & MASK) * self.qinv) & MASK
+            for j in range(N):
+                p = m * self.q[j]
+                add(j, p & MASK)
+                add(j + 1, p >> LB)
+            add(1, t[0] >> LB)
+            t = t[1:] + [None]
+        limbs = []
+        c = None
+        for k in range(N):
+            v = t[k] if c is None else t[k] + c
+            limbs.append(v & MASK)
+            c = v >> LB
+        return self.cond_sub(limbs)
 
     def sqr(self, a):
-        """Montgomery square: off-diagonal products counted twice, so the
-        product phase does ~N^2/2 multiplies instead of N^2 (value-
-        identical to mul(a, a))."""
-        t = self.t_ref
-        t[...] = jnp.zeros_like(t[...])
+        """Montgomery square: off-diagonal products computed once and
+        added twice — ~N^2/2 multiplies (value-identical to mul(a, a))."""
+        t = [None] * (2 * N)
+
+        def acc(k, v):
+            t[k] = v if t[k] is None else t[k] + v
+
         for i in range(N):
-            p = a[i][None] * a[i:]        # [N-i,S,128], j = i..N-1
-            lo = p & MASK
-            hi = p >> LB
-            # diagonal once + off-diagonal twice: add full slice, then
-            # re-add the off-diagonal tail
-            t[2 * i:i + N] = t[2 * i:i + N] + lo
-            t[2 * i + 1:i + N + 1] = t[2 * i + 1:i + N + 1] + hi
-            if i + 1 < N:
-                t[2 * i + 1:i + N] = t[2 * i + 1:i + N] + lo[1:]
-                t[2 * i + 2:i + N + 1] = t[2 * i + 2:i + N + 1] + hi[1:]
+            ai = a[i]
+            for j in range(i, N):
+                p = ai * a[j]
+                lo = p & MASK
+                hi = p >> LB
+                acc(i + j, lo)
+                acc(i + j + 1, hi)
+                if j > i:
+                    acc(i + j, lo)
+                    acc(i + j + 1, hi)
+        return self._mont_reduce_tail(t)
+
+    def _mont_reduce_tail(self, t):
         for i in range(N):
             m = (t[i] * self.qinv) & MASK
-            p = m[None] * self.q          # [N,S,128]
-            t[i:i + N] = t[i:i + N] + (p & MASK)
-            t[i + 1:i + N + 1] = t[i + 1:i + N + 1] + (p >> LB)
+            for j in range(N):
+                p = m * self.q[j]
+                t[i + j] = t[i + j] + (p & MASK)
+                t[i + j + 1] = t[i + j + 1] + (p >> LB)
             t[i + 1] = t[i + 1] + (t[i] >> LB)
-        r = self.norm_wide(t[N:2 * N])
-        return self.cond_sub(r)
+        # carry-normalize the high half
+        limbs = []
+        c = None
+        for k in range(N):
+            v = t[N + k] if c is None else t[N + k] + c
+            limbs.append(v & MASK)
+            c = v >> LB
+        return self.cond_sub(limbs)
 
     def select(self, mask, a, b):
-        return jnp.where(mask[None], a, b)
+        return [_where(mask, x, y) for x, y in zip(a, b)]
 
     def is_zero(self, a):
-        return jnp.all(a == 0, axis=0)
+        r = None
+        for x in a:
+            z = x == 0
+            r = z if r is None else (r & z)
+        return r
 
     def eq(self, a, b):
-        return jnp.all(a == b, axis=0)
+        r = None
+        for x, y in zip(a, b):
+            z = x == y
+            r = z if r is None else (r & z)
+        return r
 
 
 # ---------------------------------------------------------------------------
@@ -408,11 +462,11 @@ class FqA:
 
     @staticmethod
     def read(ref, c):
-        return ref[c]
+        return _fq_of(ref, c)
 
     @staticmethod
     def write(ref, c, v):
-        ref[c] = v
+        _store_fq(ref, c, v)
 
     add = staticmethod(lambda K, a, b: K.add(a, b))
     sub = staticmethod(lambda K, a, b: K.sub(a, b))
@@ -430,12 +484,11 @@ class Fq2A:
 
     @staticmethod
     def read(ref, c):
-        return (ref[c], ref[c + 1])
+        return _fq2_of(ref, c)
 
     @staticmethod
     def write(ref, c, v):
-        ref[c] = v[0]
-        ref[c + 1] = v[1]
+        _write_fq2(ref, c, v)
 
     add = staticmethod(kfq2_add)
     sub = staticmethod(kfq2_sub)
@@ -543,25 +596,36 @@ def unpack_fq12(arr):
             ((arr[6], arr[7]), (arr[8], arr[9]), (arr[10], arr[11])))
 
 
+# In-kernel ref I/O: refs are [C, N, sub, 128]; a loaded Fq value is a
+# LIST of N per-limb [sub, 128] arrays (see KCtx docstring).
+
+def _fq_of(ref, c):
+    return [ref[c, i] for i in range(N)]
+
+
+def _store_fq(ref, c, v):
+    for i in range(N):
+        ref[c, i] = v[i]
+
+
 def _fq2_of(ref, c):
-    return (ref[c], ref[c + 1])
+    return (_fq_of(ref, c), _fq_of(ref, c + 1))
 
 
 def _write_fq2(ref, c, v):
-    ref[c] = v[0]
-    ref[c + 1] = v[1]
+    _store_fq(ref, c, v[0])
+    _store_fq(ref, c + 1, v[1])
 
 
 def _read_fq12(ref):
-    return (((ref[0], ref[1]), (ref[2], ref[3]), (ref[4], ref[5])),
-            ((ref[6], ref[7]), (ref[8], ref[9]), (ref[10], ref[11])))
+    return ((_fq2_of(ref, 0), _fq2_of(ref, 2), _fq2_of(ref, 4)),
+            (_fq2_of(ref, 6), _fq2_of(ref, 8), _fq2_of(ref, 10)))
 
 
 def _write_fq12(ref, v):
     (c00, c01, c02), (c10, c11, c12) = v
     for i, fq2v in enumerate((c00, c01, c02, c10, c11, c12)):
-        ref[2 * i] = fq2v[0]
-        ref[2 * i + 1] = fq2v[1]
+        _write_fq2(ref, 2 * i, fq2v)
 
 
 # ---------------------------------------------------------------------------
@@ -633,11 +697,9 @@ def _call_impl(which: str, batch: int, tile_s: int, interpret: bool):
     }[which]
 
     def kernel(*refs):
-        consts_ref = refs[0]
-        ins = refs[1:1 + len(in_coords)]
-        outs = refs[1 + len(in_coords):1 + len(in_coords) + len(out_coords)]
-        t_ref = refs[-1]
-        K = KCtx(mod, consts_ref, t_ref)
+        ins = refs[:len(in_coords)]
+        outs = refs[len(in_coords):len(in_coords) + len(out_coords)]
+        K = KCtx(mod)
         if which == "fq2_mul":
             _write_fq2(outs[0], 0, kfq2_mul(K, _fq2_of(ins[0], 0),
                                             _fq2_of(ins[1], 0)))
@@ -655,8 +717,8 @@ def _call_impl(which: str, batch: int, tile_s: int, interpret: bool):
             ell_0 = _fq2_of(ins[1], 0)
             ell_vw = _fq2_of(ins[1], 2)
             ell_vv = _fq2_of(ins[1], 4)
-            px = ins[2][0]
-            py = ins[3][0]
+            px = _fq_of(ins[2], 0)
+            py = _fq_of(ins[3], 0)
             x2 = kfq2_scale(K, ell_vv, px)
             x4 = kfq2_scale(K, ell_vw, py)
             _write_fq12(outs[0], kfq12_mul_by_024(K, f, ell_0, x2, x4))
@@ -679,29 +741,22 @@ def _call_impl(which: str, batch: int, tile_s: int, interpret: bool):
     def build(batch):
         grid, sub, in_specs = _specs(in_coords, batch, tile_s, interpret)
         _, _, out_specs = _specs(out_coords, batch, tile_s, interpret)
-        const_spec = pl.BlockSpec(
-            (KCtx.N_CONST, N, 1, 128), lambda i: (0, 0, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM)
         return pl.pallas_call(
             kernel,
             out_shape=tuple(jax.ShapeDtypeStruct(_shape3(c, batch),
                                                  jnp.uint32)
                             for c in out_coords),
             grid=(grid,),
-            in_specs=[const_spec] + in_specs,
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
-            scratch_shapes=[pltpu.VMEM((2 * N, sub, 128), jnp.uint32)],
             interpret=interpret,
         )
 
     call = build(batch)
-    # keep as numpy: _call is cached across traces, and a jnp array built
-    # under one jit trace must not leak into another
-    consts_np = KCtx.const_rows(mod)
 
     def run(*arrs):
         ins = [_to3(a, c, batch) for a, c in zip(arrs, in_coords)]
-        outs = call(jnp.asarray(consts_np), *ins)
+        outs = call(*ins)
         outs = tuple(_from3(o, c, batch)
                      for o, c in zip(outs, out_coords))
         return outs if len(outs) > 1 else outs[0]
@@ -709,14 +764,12 @@ def _call_impl(which: str, batch: int, tile_s: int, interpret: bool):
     return run
 
 
-def _g2_dbl_step_kernel(K, ins, outs):
-    """Miller doubling step (groups/mod.rs:754-776) on packed G2 Jacobian
-    [x0 x1 y0 y1 z0 z1]; outputs (new point, ell coeffs [6])."""
-    x = _fq2_of(ins[0], 0)
-    y = _fq2_of(ins[0], 2)
-    z = _fq2_of(ins[0], 4)
-    two_inv = jnp.broadcast_to(K.two_inv, x[0].shape)
-    b2c = _bcast_fq2(K.b2, x)
+def kg2_dbl_step(K, r):
+    """Miller doubling step (groups/mod.rs:754-776) on a G2 Jacobian
+    triple of fq2 pairs; returns (new point, (ell_0, ell_vw, ell_vv))."""
+    x, y, z = r
+    two_inv = K.two_inv                  # int-limb tuple: folds to scalars
+    b2c = K.b2
 
     a = kfq2_scale(K, kfq2_mul(K, x, y), two_inv)
     b = kfq2_sqr(K, y)
@@ -738,23 +791,13 @@ def _g2_dbl_step_kernel(K, ins, outs):
     ell_0 = kfq2_mul_by_xi(K, i)
     ell_vw = kfq2_neg(K, h)
     ell_vv = kfq2_add(K, kfq2_add(K, j, j), j)
-
-    _write_fq2(outs[0], 0, nx)
-    _write_fq2(outs[0], 2, ny)
-    _write_fq2(outs[0], 4, nz)
-    _write_fq2(outs[1], 0, ell_0)
-    _write_fq2(outs[1], 2, ell_vw)
-    _write_fq2(outs[1], 4, ell_vv)
+    return (nx, ny, nz), (ell_0, ell_vw, ell_vv)
 
 
-def _g2_add_step_kernel(K, ins, outs):
-    """Mixed addition step (groups/mod.rs:731-752); base affine packed
-    [bx0 bx1 by0 by1]."""
-    x = _fq2_of(ins[0], 0)
-    y = _fq2_of(ins[0], 2)
-    z = _fq2_of(ins[0], 4)
-    bx = _fq2_of(ins[1], 0)
-    by = _fq2_of(ins[1], 2)
+def kg2_add_step(K, r, base):
+    """Mixed addition step (groups/mod.rs:731-752) vs an affine base."""
+    x, y, z = r
+    bx, by = base
 
     d = kfq2_sub(K, x, kfq2_mul(K, z, bx))
     e = kfq2_sub(K, y, kfq2_mul(K, z, by))
@@ -772,18 +815,30 @@ def _g2_add_step_kernel(K, ins, outs):
                                        kfq2_mul(K, d, by)))
     ell_vw = d
     ell_vv = kfq2_neg(K, e)
-
-    _write_fq2(outs[0], 0, nx)
-    _write_fq2(outs[0], 2, ny)
-    _write_fq2(outs[0], 4, nz)
-    _write_fq2(outs[1], 0, ell_0)
-    _write_fq2(outs[1], 2, ell_vw)
-    _write_fq2(outs[1], 4, ell_vv)
+    return (nx, ny, nz), (ell_0, ell_vw, ell_vv)
 
 
-def _bcast_fq2(cst, like):
-    return (jnp.broadcast_to(cst[0], like[0].shape),
-            jnp.broadcast_to(cst[1], like[1].shape))
+def _read_g2_triple(ref):
+    return (_fq2_of(ref, 0), _fq2_of(ref, 2), _fq2_of(ref, 4))
+
+
+def _write_g2_triple(ref, v):
+    _write_fq2(ref, 0, v[0])
+    _write_fq2(ref, 2, v[1])
+    _write_fq2(ref, 4, v[2])
+
+
+def _g2_dbl_step_kernel(K, ins, outs):
+    nr, coeffs = kg2_dbl_step(K, _read_g2_triple(ins[0]))
+    _write_g2_triple(outs[0], nr)
+    _write_g2_triple(outs[1], coeffs)
+
+
+def _g2_add_step_kernel(K, ins, outs):
+    base = (_fq2_of(ins[1], 0), _fq2_of(ins[1], 2))
+    nr, coeffs = kg2_add_step(K, _read_g2_triple(ins[0]), base)
+    _write_g2_triple(outs[0], nr)
+    _write_g2_triple(outs[1], coeffs)
 
 
 # ---------------------------------------------------------------------------
@@ -851,57 +906,77 @@ def _unpack_coeffs(arr):
 # ---------------------------------------------------------------------------
 # Whole-ladder pow kernels: the 254-step Fermat inversion and the 62-step
 # cyclotomic z-power run as a fori_loop INSIDE one kernel instead of ~500
-# sequential kernel launches from a lax.scan.  Exponent bits arrive as an
-# SMEM input (MSB-first, leading 1 dropped; res starts at the base).
+# sequential kernel launches from a lax.scan.  Exponent digits arrive as an
+# SMEM input (MSB-first, leading digit dropped; res starts at the base) and
+# the multiply runs ONLY on nonzero digits via pl.when — a 0 digit costs a
+# squaring, nothing more (q-2 has 110/254 set bits; z has 28/63 binary,
+# 24/63 NAF).  Digit 2 multiplies by the conjugate (the free cyclotomic
+# inverse), used by the NAF ladder on unitary inputs.
+#
+# (Karabina compressed squaring was evaluated and rejected for this path:
+# decompression needs a field inversion, which on the branchless device
+# path is a 254-step Fermat ladder — costlier than the 6-mul-per-squaring
+# saving across a 62-step ladder.)
 # ---------------------------------------------------------------------------
 
-def _pow_call(which: str, batch: int, nbits: int, tile_s: int = _TILE_S):
-    return _pow_call_impl(which, batch, nbits, tile_s, _INTERPRET)
+def _pow_call(which: str, batch: int, ndigits: int, tile_s: int = _TILE_S):
+    return _pow_call_impl(which, batch, ndigits, tile_s, _INTERPRET)
+
+
+def kfq12_conj(K, a):
+    """Unitary inverse (fq12.rs:126): conjugation over Fq6."""
+    return (a[0], kfq6_neg(K, a[1]))
 
 
 @functools.lru_cache(maxsize=None)
-def _pow_call_impl(which: str, batch: int, nbits: int, tile_s: int,
+def _pow_call_impl(which: str, batch: int, ndigits: int, tile_s: int,
                    interpret: bool):
     mod = _fq_mod()
     coords = {"fq_pow": 1, "fq12_cyc_pow": 12}[which]
 
-    def kernel(consts_ref, bits_ref, a_ref, out_ref, t_ref):
-        K = KCtx(mod, consts_ref, t_ref)
+    def kernel(digits_ref, a_ref, out_ref):
+        K = KCtx(mod)
         if which == "fq_pow":
-            a = a_ref[0]
+            _store_fq(out_ref, 0, _fq_of(a_ref, 0))
 
-            def body(i, res):
-                res = K.sqr(res)
-                m = K.mul(res, a)
-                bit = bits_ref[i, 0]
-                return jnp.where(bit > 0, m, res)
+            def body(i, carry):
+                _store_fq(out_ref, 0, K.sqr(_fq_of(out_ref, 0)))
 
-            res = jax.lax.fori_loop(0, nbits, body, a)
-            out_ref[0] = res
+                @pl.when(digits_ref[i, 0] > 0)
+                def _mul():
+                    _store_fq(out_ref, 0,
+                              K.mul(_fq_of(out_ref, 0), _fq_of(a_ref, 0)))
+
+                return carry
+
+            jax.lax.fori_loop(0, ndigits, body, 0)
         else:
             a = _read_fq12(a_ref)
+            aconj = kfq12_conj(K, a)
+            _write_fq12(out_ref, a)
 
-            def body(i, res):
-                res = kfq12_cyclotomic_sqr(K, res)
-                m = kfq12_mul(K, a, res)
-                bit = bits_ref[i, 0]
-                sel = jnp.where(bit > 0, jnp.uint32(1), jnp.uint32(0))
-                mask = (sel > 0)[None, None]
-                return jax.tree.map(
-                    lambda x, y: jnp.where(mask, x, y), m, res)
+            def body(i, carry):
+                _write_fq12(out_ref,
+                            kfq12_cyclotomic_sqr(K, _read_fq12(out_ref)))
+                d = digits_ref[i, 0]
 
-            res = jax.lax.fori_loop(0, nbits, body, a)
-            _write_fq12(out_ref, res)
+                @pl.when(d > 0)
+                def _mul():
+                    m = jax.tree.map(
+                        lambda x, y: jnp.where(d == 1, x, y), a, aconj)
+                    _write_fq12(out_ref,
+                                kfq12_mul(K, _read_fq12(out_ref), m))
+
+                return carry
+
+            jax.lax.fori_loop(0, ndigits, body, 0)
 
     sub = tile_s
     while batch % (sub * 128) and sub > 1:
         sub //= 2
     grid = batch // (sub * 128)
     ms = pltpu.ANY if interpret else pltpu.VMEM
-    const_spec = pl.BlockSpec((KCtx.N_CONST, N, 1, 128),
-                              lambda i: (0, 0, 0, 0),
-                              memory_space=ms)
-    bits_spec = pl.BlockSpec((nbits, 1), lambda i: (0, 0),
+    bits_spec = pl.BlockSpec((ndigits, 1), lambda i: (0, 0),
                              memory_space=pltpu.ANY if interpret
                              else pltpu.SMEM)
     a_spec = pl.BlockSpec((coords, N, sub, 128), lambda i: (0, 0, i, 0),
@@ -910,15 +985,13 @@ def _pow_call_impl(which: str, batch: int, nbits: int, tile_s: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct(_shape3(coords, batch), jnp.uint32),
         grid=(grid,),
-        in_specs=[const_spec, bits_spec, a_spec],
+        in_specs=[bits_spec, a_spec],
         out_specs=a_spec,
-        scratch_shapes=[pltpu.VMEM((2 * N, sub, 128), jnp.uint32)],
         interpret=interpret,
     )
-    consts_np = KCtx.const_rows(mod)
 
     def run(a_packed, bits_np):
-        return _from3(call(jnp.asarray(consts_np), jnp.asarray(bits_np),
+        return _from3(call(jnp.asarray(bits_np),
                            _to3(a_packed, coords, batch)), coords, batch)
 
     return run
@@ -928,6 +1001,23 @@ def _msb_bits(e: int) -> np.ndarray:
     """MSB-first bits of e with the leading 1 dropped -> [nbits, 1] i32."""
     nb = e.bit_length()
     return np.array([[(e >> i) & 1] for i in range(nb - 2, -1, -1)],
+                    dtype=np.int32)
+
+
+def _naf_digits(e: int) -> np.ndarray:
+    """MSB-first NAF digits of e, leading 1 dropped -> [n, 1] i32 with
+    values {0, 1, 2}; 2 encodes -1 (multiply by the conjugate)."""
+    d = []
+    while e:
+        if e & 1:
+            w = 2 - (e % 4)           # 1 or -1
+            d.append(w)
+            e -= w
+        else:
+            d.append(0)
+        e >>= 1
+    assert d[-1] == 1
+    return np.array([[x if x >= 0 else 2] for x in reversed(d[:-1])],
                     dtype=np.int32)
 
 
@@ -946,11 +1036,133 @@ def fq_pow(a, e: int):
 
 def fq12_cyclotomic_pow_z(a):
     """a^z for the BN parameter z (fq12.rs:249-267, z at :122), one fused
-    ladder kernel (62 cyclotomic squarings + 11 multiplies)."""
+    ladder kernel: 62 cyclotomic squarings; the 27 multiplies of z's
+    binary expansion run under pl.when (zero digits cost a squaring
+    only).  Formula-pinned: valid for arbitrary Fq12 input, exactly like
+    the reference's cyclotomic_pow."""
     batch = a[0][0][0].shape[1]
     bits = _msb_bits(C.Z)
     return unpack_fq12(
         _pow_call("fq12_cyc_pow", batch, len(bits))(pack(a), bits))
+
+
+def fq12_cyclotomic_pow_z_unitary(a):
+    """a^z for a in the cyclotomic subgroup G_phi6(q^2) = {a :
+    a^(q^4-q^2+1) = 1} — where Granger-Scott cyclotomic squaring is a
+    true square AND conjugation is the inverse.  Every exp_by_neg_z
+    input inside the final exponentiation qualifies (the easy chunk maps
+    onto x^((q^6-1)(q^2+1))).  NAF ladder: 62 squarings + 23 multiplies
+    (vs 27 for binary).  Bit-identical to fq12_cyclotomic_pow_z there;
+    NOT valid for arbitrary elements (mere unitarity conj(a)*a == 1 is
+    not sufficient either)."""
+    batch = a[0][0][0].shape[1]
+    digits = _naf_digits(C.Z)
+    return unpack_fq12(
+        _pow_call("fq12_cyc_pow", batch, len(digits))(pack(a), digits))
+
+
+# ---------------------------------------------------------------------------
+# Whole-Miller-loop kernel: the G2 precompute (doubling/addition line
+# steps, groups/mod.rs:701-776) interleaved with the Miller fold
+# (mod.rs:580-606) — all 85 scheduled steps in ONE kernel.  vs the
+# scan-of-kernels spelling this (a) runs dbl OR add per step instead of
+# both + select, (b) squares f only on doubling steps, and (c) keeps f,
+# r and the line coeffs in VMEM for the whole loop instead of ~87 HBM
+# round-trips.  The 2 Frobenius addition steps (mod.rs:717-721) run
+# outside (they need the twist constants).  Bit-exact: same formula
+# sequence as pairing_jax.precompute + miller_loop.
+# ---------------------------------------------------------------------------
+
+def _miller_call(batch: int, nsteps: int, tile_s: int = _TILE_S):
+    return _miller_call_impl(batch, nsteps, tile_s, _INTERPRET)
+
+
+@functools.lru_cache(maxsize=None)
+def _miller_call_impl(batch: int, nsteps: int, tile_s: int,
+                      interpret: bool):
+    mod = _fq_mod()
+
+    def kernel(kinds_ref, p_ref, q_ref, f_ref, r_ref, c_ref):
+        K = KCtx(mod)
+        px = _fq_of(p_ref, 0)
+        py = _fq_of(p_ref, 1)
+        qx = _fq2_of(q_ref, 0)
+        qy = _fq2_of(q_ref, 2)
+        qy_neg = kfq2_neg(K, qy)
+        one = K.const_fq(K.mont_one, px[0])
+        zero = K.zero_fq(px[0])
+
+        _write_g2_triple(r_ref, (qx, qy, (one, zero)))
+        _write_fq12(f_ref, (((one, zero), (zero, zero), (zero, zero)),
+                            ((zero, zero), (zero, zero), (zero, zero))))
+
+        def body(i, carry):
+            kind = kinds_ref[i, 0]
+
+            @pl.when(kind == 0)
+            def _dbl():
+                _write_fq12(f_ref, kfq12_sqr(K, _read_fq12(f_ref)))
+                nr, coeffs = kg2_dbl_step(K, _read_g2_triple(r_ref))
+                _write_g2_triple(r_ref, nr)
+                _write_g2_triple(c_ref, coeffs)
+
+            @pl.when(kind > 0)
+            def _add():
+                by = jax.tree.map(
+                    lambda a, b: jnp.where(kind == 1, a, b), qy, qy_neg)
+                nr, coeffs = kg2_add_step(K, _read_g2_triple(r_ref),
+                                          (qx, by))
+                _write_g2_triple(r_ref, nr)
+                _write_g2_triple(c_ref, coeffs)
+
+            ell_0, ell_vw, ell_vv = _read_g2_triple(c_ref)
+            x2 = kfq2_scale(K, ell_vv, px)
+            x4 = kfq2_scale(K, ell_vw, py)
+            _write_fq12(f_ref, kfq12_mul_by_024(K, _read_fq12(f_ref),
+                                                ell_0, x2, x4))
+            return carry
+
+        jax.lax.fori_loop(0, nsteps, body, 0)
+
+    sub = tile_s
+    while batch % (sub * 128) and sub > 1:
+        sub //= 2
+    grid = batch // (sub * 128)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    kinds_spec = pl.BlockSpec((nsteps, 1), lambda i: (0, 0),
+                              memory_space=pltpu.ANY if interpret
+                              else pltpu.SMEM)
+    spec = lambda c: pl.BlockSpec((c, N, sub, 128),
+                                  lambda i: (0, 0, i, 0), memory_space=ms)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(_shape3(12, batch), jnp.uint32),
+                   jax.ShapeDtypeStruct(_shape3(6, batch), jnp.uint32)),
+        grid=(grid,),
+        in_specs=[kinds_spec, spec(2), spec(4)],
+        out_specs=(spec(12), spec(6)),
+        scratch_shapes=[pltpu.VMEM((6, N, sub, 128), jnp.uint32)],
+        interpret=interpret,
+    )
+
+    def run(p_packed, q_packed, kinds_np):
+        f, r = call(jnp.asarray(kinds_np),
+                    _to3(p_packed, 2, batch), _to3(q_packed, 4, batch))
+        return _from3(f, 12, batch), _from3(r, 6, batch)
+
+    return run
+
+
+def miller_precompute(q_affine, p_affine, kinds_np):
+    """Fused precompute+Miller over the scheduled (non-Frobenius) steps.
+
+    q_affine: fq2 affine pair ((x0,x1),(y0,y1)); p_affine: (px, py) Fq
+    batches; kinds_np: [nsteps, 1] int32 (0 dbl, 1 add Q, 2 add -Q).
+    Returns (f fq12 pytree, r Jacobian G2 triple)."""
+    batch = p_affine[0].shape[1]
+    f, r = _miller_call(batch, len(kinds_np))(
+        pack(p_affine), pack(q_affine), kinds_np)
+    return unpack_fq12(f), _unpack_g2(r)
 
 
 def _unpack_point_g1(arr):

@@ -554,6 +554,21 @@ def fq12_exp_by_neg_z(a):
     return fq12_conj(fq12_cyclotomic_pow_z(a))
 
 
+def fq12_exp_by_neg_z_unitary(a):
+    """exp_by_neg_z for inputs known to lie in the cyclotomic subgroup
+    G_phi6(q^2) — every call site inside the final exponentiation (the
+    easy chunk maps onto x^((q^6-1)(q^2+1))).  On the fused TPU path
+    this takes the NAF ladder with conjugation as the free inverse (23
+    multiplies instead of 27); bit-identical to fq12_exp_by_neg_z
+    there.  Other backends fall through to the formula-pinned ladder."""
+    if not _is_reg(a[0][0][0]) and _tape_dispatch(a[0][0][0]) is None:
+        from .fields import _use_pallas
+        if _use_pallas(a[0][0][0].shape[1]):
+            from . import pallas_fused as PF
+            return fq12_conj(PF.fq12_cyclotomic_pow_z_unitary(a))
+    return fq12_exp_by_neg_z(a)
+
+
 def _staged(fn, *args):
     """Compile barrier: run fn as a length-1 scan so XLA keeps its body a
     separate computation.  On CPU, LLVM compile time of one huge function
@@ -599,14 +614,14 @@ def fq12_final_exponentiation(a):
     c = stage2(fq12_conj(a), inv)
     f = stage2(fq12_frob(c, 2), c)
 
-    a_ = fq12_exp_by_neg_z(f)
+    a_ = fq12_exp_by_neg_z_unitary(f)
     b = stage1(fq12_cyclotomic_sqr, a_)
     c2 = stage1(fq12_cyclotomic_sqr, b)
     d = stage2(c2, b)
 
-    e = fq12_exp_by_neg_z(d)
+    e = fq12_exp_by_neg_z_unitary(d)
     f2 = stage1(fq12_cyclotomic_sqr, e)
-    g = fq12_exp_by_neg_z(f2)
+    g = fq12_exp_by_neg_z_unitary(f2)
     h = fq12_conj(d)
     i = fq12_conj(g)
 

@@ -24,6 +24,22 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the limb-arithmetic graphs are huge for XLA
 # CPU and the first compile in a process is expensive; cache across runs.
 # (env-var spellings for these knobs are likewise not reliably honored.)
-jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache")
+#
+# The cache dir is fingerprinted by this host's CPU flags: XLA:CPU AOT
+# executables encode target-machine features, and loading an entry compiled
+# on a different machine (e.g. by a remote AOT helper that shared the old
+# fixed path) SIGILLs/segfaults mid-suite.  A per-machine path makes stale
+# foreign entries unloadable by construction.
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as fh:
+        _flags = next(l for l in fh if l.startswith("flags"))
+except (OSError, StopIteration):  # non-Linux fallback
+    import platform
+
+    _flags = platform.processor() or platform.machine()
+_fp = hashlib.sha256(_flags.encode()).hexdigest()[:12]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/bn254_jax_cache_cpu_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
