@@ -97,26 +97,51 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
 
     lane = jnp.arange(WT, dtype=jnp.int32) * nbuckets  # flat bucket bases
 
+    # Bucket storage is ROW-PACKED: [WT * 2^c, n_leaves * N_LIMBS] uint32,
+    # one bucket per row.  The per-step random access then becomes a row
+    # gather / row scatter along the MAJOR axis with unique, sorted
+    # indices (lane*2^c + digit is strictly increasing in lane) — the
+    # layout TPUs handle natively (embedding-style row DMA).  The
+    # limb-major compute layout is restored by a [B, L] <-> [L, B]
+    # transpose per step, which is cheap next to the former minor-axis
+    # scatter (measured 94% of MSM wall time, scripts/bench_msm.py).
+    treedef = jax.tree.structure(points)
+    nleaves = treedef.num_leaves
+
+    def pack_rows(tree):
+        # tree of [N_LIMBS, B] -> [B, nleaves*N_LIMBS]
+        return jnp.concatenate(
+            [a.T for a in jax.tree.leaves(tree)], axis=-1)
+
+    def unpack_rows(rows):
+        # [B, nleaves*N_LIMBS] -> tree of [N_LIMBS, B]
+        parts = [rows[:, i * L.N_LIMBS:(i + 1) * L.N_LIMBS].T
+                 for i in range(nleaves)]
+        return jax.tree.unflatten(treedef, parts)
+
     def acc_body(buckets, step):
         pt, d = step                      # pt: [.., T]; d: [W*T]
         ptw = jax.tree.map(lambda a: jnp.tile(a, W), pt)   # [.., W*T]
         flat = lane + d
-        cur = jax.tree.map(lambda b: b[..., flat], buckets)
+        cur = unpack_rows(buckets.at[flat].get(
+            unique_indices=True, indices_are_sorted=True,
+            mode="promise_in_bounds"))
         new = G.add(K, cur, ptw)
-        buckets = jax.tree.map(lambda b, nw: b.at[..., flat].set(nw),
-                               buckets, new)
+        buckets = buckets.at[flat].set(
+            pack_rows(new), unique_indices=True, indices_are_sorted=True,
+            mode="promise_in_bounds")
         return buckets, None
 
-    buckets, _ = jax.lax.scan(
-        acc_body, G.zero_point(K, WT * nbuckets), (pts, dgs))
+    bucket0 = pack_rows(G.zero_point(K, WT * nbuckets))
+    buckets, _ = jax.lax.scan(acc_body, bucket0, (pts, dgs))
 
     # running-sum reduction over buckets 2^c-1 .. 1, all windows at once
-    bviews = jax.tree.map(
-        lambda b: b.reshape(b.shape[:-1] + (WT, nbuckets)), buckets)
+    bviews = buckets.reshape(WT, nbuckets, -1)
 
     def red_body(carry, b):
         acc, total = carry
-        bb = jax.tree.map(lambda x: x[..., b], bviews)     # [.., W*T]
+        bb = unpack_rows(
+            jax.lax.dynamic_index_in_dim(bviews, b, axis=1, keepdims=False))
         acc = G.add(K, acc, bb)
         total = G.add(K, total, acc)
         return (acc, total), None

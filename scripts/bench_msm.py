@@ -28,13 +28,25 @@ from bn254_tpu.fields import FR
 from bn254_tpu.spec.constants import R
 
 
+def _digest(out):
+    """Fold a result pytree to one scalar so a host transfer forces full
+    device completion (tunnel block_until_ready is a shallow ack)."""
+    return sum(jnp.sum(x, dtype=jnp.uint32) for x in jax.tree.leaves(out))
+
+
 def timeit(name, fn, *args, reps=3):
-    out = jax.block_until_ready(fn(*args))
+    g = jax.jit(lambda *a: _digest(fn(*a)))
+    np.asarray(g(*args))                     # compile + settle
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = jax.block_until_ready(fn(*args))
+    np.asarray(g(*args))
+    rtt_one = time.perf_counter() - t0       # 1 exec + transfer
+    digs = [g(*args) for _ in range(reps)]
+    t0 = time.perf_counter()
+    digs = [g(*args) for _ in range(reps)]
+    for d in digs:
+        np.asarray(d)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:12s} {dt*1e3:9.1f} ms")
+    print(f"{name:12s} {dt*1e3:9.1f} ms  (single {rtt_one*1e3:.1f} ms)")
     return dt
 
 
@@ -87,9 +99,9 @@ def main():
     pts = G.double(G.G1, base)
     jax.block_until_ready(pts)
 
-    full = jax.jit(lambda p, s: M.msm(G.G1, p, s, tiles=128))
-    nos = jax.jit(lambda p, s: msm_ablate(G.G1, p, s, "no-scatter"))
-    add = jax.jit(lambda p, s: msm_ablate(G.G1, p, s, "adds-only"))
+    full = lambda p, s: M.msm(G.G1, p, s, tiles=128)
+    nos = lambda p, s: msm_ablate(G.G1, p, s, "no-scatter")
+    add = lambda p, s: msm_ablate(G.G1, p, s, "adds-only")
 
     t_full = timeit("full", full, pts, ks)
     t_nos = timeit("no-scatter", nos, pts, ks)

@@ -40,6 +40,8 @@ except (OSError, StopIteration):  # non-Linux fallback
 
     _flags = platform.processor() or platform.machine()
 _fp = hashlib.sha256(_flags.encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/bn254_jax_cache_cpu_{_fp}")
+if not os.environ.get("BN254_NO_PERSISTENT_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/bn254_jax_cache_cpu_{_fp}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
