@@ -64,7 +64,7 @@ def main():
     from bn254_tpu import pairing_jax as PJ
 
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
 
     # encode_points returns host numpy; put on device ONCE so the timed
     # loop measures compute, not repeated host->device tunnel transfers

@@ -129,6 +129,13 @@ def main():
     report("g2_mul", timeit(lambda p, k: G.scalar_mul(G.G2, p, k), g2, ks,
                             outer=2))
 
+    # GLV fast path (half-depth joint ladder; oracle-parity in test_glv)
+    from bn254_tpu import glv
+    report("g1_mul_glv", timeit(lambda p, k: glv.scalar_mul_glv(G.G1, p, k),
+                                g1, ks, outer=2))
+    report("g2_mul_glv", timeit(lambda p, k: glv.scalar_mul_glv(G.G2, p, k),
+                                g2, ks, outer=2))
+
     # fq12
     def rf12():
         def rf2():

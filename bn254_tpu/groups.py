@@ -146,6 +146,33 @@ def is_zero_point(K, p):
     return K.is_zero(p[2])
 
 
+_JITTED = {}
+
+
+def _memo_jit(fn, K, *args, static=(0,)):
+    """Run fn under a MEMOIZED jax.jit for eager (non-traced, non-tape)
+    inputs.
+
+    Eagerly-dispatched lax.scan programs rebuild their jaxpr on every
+    call, so jax's in-memory executable cache misses and each call goes
+    through XLA:CPU compile OR persistent-cache deserialize — and that
+    loader segfaults once a process has churned through enough large
+    executables (round-2 root-cause hunt; see tests/conftest.py).  A
+    stable jit-wrapped function compiles once per shape and then hits
+    the C++ fastpath."""
+    import jax.core
+
+    leaf = jax.tree.leaves(args)[0]
+    if isinstance(leaf, jax.core.Tracer) or getattr(leaf, "_tape_reg",
+                                                    False):
+        return fn(K, *args)
+    j = _JITTED.get(fn)
+    if j is None:
+        j = jax.jit(fn, static_argnums=static)
+        _JITTED[fn] = j
+    return j(K, *args)
+
+
 def double(K, p):
     """dbl-2009-l-style Jacobian doubling (mod.rs:250-269); maps the
     identity to the identity without branching (z stays 0).
@@ -155,6 +182,10 @@ def double(K, p):
     if _use_pallas(K.batch_of(p[0])):
         from . import pallas_fused as PF
         return PF.point_double(1 if K is DevFq else 2, p)
+    return _memo_jit(_double_jnp, K, p)
+
+
+def _double_jnp(K, p):
     x, y, z = p
     a = K.sqr(x)
     b = K.sqr(y)
@@ -187,6 +218,10 @@ def add(K, p, q):
     if _use_pallas(K.batch_of(p[0])):
         from . import pallas_fused as PF
         return PF.point_add(1 if K is DevFq else 2, p, q)
+    return _memo_jit(_add_jnp, K, p, q)
+
+
+def _add_jnp(K, p, q):
     p_inf = is_zero_point(K, p)
     q_inf = is_zero_point(K, q)
 
@@ -229,6 +264,10 @@ def neg(K, p):
 
 def eq_points(K, p, q):
     """Projective equality (mod.rs:169-195), branchless."""
+    return _memo_jit(_eq_points_jnp, K, p, q)
+
+
+def _eq_points_jnp(K, p, q):
     p_inf = is_zero_point(K, p)
     q_inf = is_zero_point(K, q)
     z1s = K.sqr(p[2])
@@ -248,6 +287,11 @@ def scalar_mul(K, p, k_limbs, num_bits: int = 256):
     (fp.rs:13-20).  Identical result to the reference's bit_length()-bounded
     loop because leading zero bits keep res at the identity.
     """
+    return _memo_jit(_scalar_mul_jnp, K, p, k_limbs, num_bits,
+                     static=(0, 3))
+
+
+def _scalar_mul_jnp(K, p, k_limbs, num_bits):
     batch = K.batch_of(p[0])
     bit_idx = jnp.arange(num_bits - 1, -1, -1, dtype=jnp.int32)
 

@@ -59,6 +59,70 @@ def _all_digits(scalars, c: int, nwindows: int):
     return jnp.stack(rows, axis=0)
 
 
+def _digits_any_c(scalars, c: int, nwindows: int):
+    """Base-2^c digits for any c (limb-straddling), [W, B] int32."""
+    rows = []
+    for w in range(nwindows):
+        o = w * c
+        l0, sh = divmod(o, L.LIMB_BITS)
+        v = scalars[l0] >> sh
+        if sh + c > L.LIMB_BITS and l0 + 1 < L.N_LIMBS:
+            v = v | (scalars[l0 + 1] << (L.LIMB_BITS - sh))
+        rows.append((v & ((1 << c) - 1)).astype(jnp.int32))
+    return jnp.stack(rows, axis=0)
+
+
+def _msm_fused(K, points, scalars, c: int):
+    """TPU path: one Pallas mega-kernel per MSM (VMEM-resident buckets,
+    one-hot select accumulation — see pallas_fused.msm_accumulate).
+
+    Window totals come back per lane (each lane an independent Pippenger
+    tile); Horner combines windows at full lane width, then a log2 roll
+    fold collapses lanes so every op stays on the fused kernels.
+    """
+    from . import pallas_fused as PF
+
+    ncoords = 1 if K is G.G1 else 2
+    n = K.batch_of(points[0])
+    lanes = PF._TILE_S * 128
+    pad = (-n) % lanes
+    if pad:
+        zp = G.zero_point(K, pad)
+        points = jax.tree.map(
+            lambda a, z: jnp.concatenate([a, z], axis=-1), points, zp)
+        scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
+    W = (254 + c - 1) // c
+    dgs = _digits_any_c(scalars, c, W)
+    # infinity inputs contribute nothing: send them to the discard bucket
+    inf = G.is_zero_point(K, points)
+    dgs = jnp.where(inf[None, :], 0, dgs)
+
+    packed = PF.pack(points)                      # [3*ncoords, N, n+pad]
+    totals = PF.msm_accumulate(ncoords, packed, dgs, 1 << c)
+    # [W, 3*ncoords, N, lanes] -> per-window point pytrees
+    def win(wi):
+        t = totals[wi]
+        if ncoords == 1:
+            return (t[0], t[1], t[2])
+        return ((t[0], t[1]), (t[2], t[3]), (t[4], t[5]))
+
+    res = win(W - 1)
+    for wi in range(W - 2, -1, -1):
+        for _ in range(c):
+            res = G.double(K, res)
+        res = G.add(K, res, win(wi))
+
+    k = 1
+    while k < lanes:
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -k, axis=-1), res)
+        res = G.add(K, res, shifted)
+        k *= 2
+    return jax.tree.map(lambda a: a[..., :1], res)
+
+
+MSM_FUSED_WINDOW = {1: 6, 2: 5}  # VMEM bucket block ~12.5 MB per window
+
+
 def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
         num_bits: int = 256):
     """sum_i scalars[i] * points[i] over group K -> batch-1 Jacobian point.
@@ -68,6 +132,10 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
     zero-scalar pairs on the host if needed).
     """
     n = K.batch_of(points[0])
+    from .fields import _use_pallas
+    if tiles is None and _use_pallas(max(n, 256)) and n >= 1024:
+        ncoords = 1 if K is G.G1 else 2
+        return _msm_fused(K, points, scalars, MSM_FUSED_WINDOW[ncoords])
     if tiles is None:
         from .fields import _use_pallas
         if _use_pallas(n) and n % 128 == 0 and n >= 512:

@@ -1188,6 +1188,144 @@ def point_double(group_coords: int, p):
             else _unpack_g2(out))
 
 
+# ---------------------------------------------------------------------------
+# Pippenger bucket accumulation (MSM hot loop)
+# ---------------------------------------------------------------------------
+#
+# Round-1/2 profiling (scripts/bench_msm.py): XLA lowers the per-step
+# random bucket access to ONE DMA PER ROW regardless of layout — 94% of
+# MSM wall time.  Fix: keep one window's whole bucket block resident in
+# VMEM inside a single kernel and do the "random" access as a one-hot
+# select sweep over the (static) bucket index — 2*(2^c)*rows selects per
+# step, all static VMEM addressing, zero HBM traffic.
+#
+# Grid is (W windows, m point-tiles); the scratch bucket block persists
+# across the inner m sweep (TPU grid is sequential), is zeroed at i == 0,
+# and at i == m-1 collapses in-kernel through the classic running-sum
+# (sum_b b*B_b) so only ONE Jacobian point per window leaves the kernel.
+# Points stream through a double-buffered BlockSpec (re-read once per
+# window: W * n * 192B over HBM, ~10 ms at 2^20 — noise).  Each lane of
+# the [sub, 128] tile is an independent Pippenger sub-problem; the jnp
+# glue (msm.py) Horner-combines windows and tree-folds lanes.
+
+
+def _read_pt(ref, A, base):
+    c = A.COORDS
+    return (A.read(ref, base), A.read(ref, base + c),
+            A.read(ref, base + 2 * c))
+
+
+def _write_pt(ref, A, base, v):
+    c = A.COORDS
+    A.write(ref, base, v[0])
+    A.write(ref, base + c, v[1])
+    A.write(ref, base + 2 * c, v[2])
+
+
+def _sel_pt(K, A, mask, a, b):
+    return tuple(A.select(K, mask, x, y) for x, y in zip(a, b))
+
+
+def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
+    """Bucket-accumulate + reduce all windows of a Pippenger MSM.
+
+    points_packed: [3*ncoords, N, n] uint32 (Jacobian, batch last);
+    digits: [W, n] int32 in [0, nb); nb = 2^c buckets (bucket 0 is the
+    discard bucket — masked-out/infinity points must carry digit 0).
+    Returns [W, 3*ncoords, N, lanes] window totals (lanes = tile lanes;
+    each lane an independent partial; fold lanes then Horner windows).
+    """
+    ncoords = K_group_coords
+    C3 = 3 * ncoords
+    W, n = digits.shape
+    sub = _TILE_S
+    lanes = sub * 128
+    assert n % lanes == 0, "pad the point batch to a multiple of sub*128"
+    m = n // lanes
+    call = _msm_acc_impl(m, W, nb, ncoords, sub, _INTERPRET)
+    p4 = points_packed.reshape(C3, N, m * sub, 128)
+    d3 = digits.reshape(W, m * sub, 128)
+    out = call(d3, p4)                      # [W*C3, N, sub, 128]
+    return out.reshape(W, C3, N, lanes)
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
+                  interpret: bool):
+    mod = _fq_mod()
+    A = FqA if ncoords == 1 else Fq2A
+    C3 = 3 * ncoords
+    rows = (nb - 1) * C3                    # bucket 0 is never stored
+
+    def kernel(d_ref, p_ref, out_ref, bk_ref):
+        K = KCtx(mod)
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _init():
+            bk_ref[...] = jnp.zeros((rows, N, sub, 128), jnp.uint32)
+
+        d = d_ref[0]                        # [sub, 128] int32
+        q = _read_pt(p_ref, A, 0)
+        zfq = K.zero_fq(p_ref[0, 0])
+        zc = zfq if ncoords == 1 else (zfq, zfq)
+        zero_pt = (zc, zc, zc)
+
+        # one-hot gather: cur = buckets[d]  (d == 0 -> infinity)
+        cur = zero_pt
+        for b in range(1, nb):
+            mask = d == b
+            bb = _read_pt(bk_ref, A, (b - 1) * C3)
+            cur = _sel_pt(K, A, mask, bb, cur)
+
+        new = k_point_add(K, A, cur, q)
+
+        # one-hot scatter-back (digit-0 lanes write nothing)
+        for b in range(1, nb):
+            mask = d == b
+            old = _read_pt(bk_ref, A, (b - 1) * C3)
+            _write_pt(bk_ref, A, (b - 1) * C3,
+                      _sel_pt(K, A, mask, new, old))
+
+        @pl.when(i == m - 1)
+        def _reduce():
+            # running sum: total = sum_b b * B_b, b = nb-1 .. 1
+            def body(j, carry):
+                acc, tot = carry
+                base = (nb - 2 - j) * C3    # bucket b=nb-1-j is row (b-1)
+                bb = _read_pt(bk_ref, A, base)
+                acc = k_point_add(K, A, acc, bb)
+                tot = k_point_add(K, A, tot, acc)
+                return acc, tot
+
+            acc, tot = jax.lax.fori_loop(0, nb - 1, body,
+                                         (zero_pt, zero_pt))
+            _write_pt(out_ref, A, 0, tot)
+
+    d_spec = pl.BlockSpec((1, sub, 128), lambda w, i: (w, i, 0),
+                          memory_space=pltpu.ANY if interpret
+                          else pltpu.VMEM)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    p_spec = pl.BlockSpec((C3, N, sub, 128), lambda w, i: (0, 0, i, 0),
+                          memory_space=ms)
+    o_spec = pl.BlockSpec((C3, N, sub, 128), lambda w, i: (w, 0, 0, 0),
+                          memory_space=ms)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((W * C3, N, sub, 128), jnp.uint32),
+        grid=(W, m),
+        in_specs=[d_spec, p_spec],
+        out_specs=o_spec,
+        scratch_shapes=[pltpu.VMEM((rows, N, sub, 128), jnp.uint32)],
+        interpret=interpret,
+    )
+
+    def run(d3, p4):
+        return call(d3, p4)
+
+    return run
+
+
 def available() -> bool:
     try:
         plat = jax.devices()[0].platform.lower()

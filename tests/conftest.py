@@ -41,7 +41,30 @@ except (OSError, StopIteration):  # non-Linux fallback
     _flags = platform.processor() or platform.machine()
 _fp = hashlib.sha256(_flags.encode()).hexdigest()[:12]
 if not os.environ.get("BN254_NO_PERSISTENT_CACHE"):
+    # One cache dir per xdist worker: concurrent processes sharing a dir
+    # can race reader-vs-writer.  BN254_CACHE_DIR overrides for ad-hoc
+    # concurrent runs outside pytest-xdist.
+    _worker = os.environ.get("PYTEST_XDIST_WORKER", "solo")
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/bn254_jax_cache_cpu_{_fp}")
+                      os.environ.get("BN254_CACHE_DIR",
+                                     f"/tmp/bn254_jax_cache_cpu_{_fp}_{_worker}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# The full suite in one process segfaults inside XLA:CPU's JIT loader once
+# the accumulated compiled-executable footprint gets large (deterministic:
+# the compile/cache-load AFTER the giant device-tower programs dies, both
+# with and without the persistent cache).  Dropping executable references
+# between modules keeps the loaded-code footprint bounded; the persistent
+# cache makes per-module recompiles cheap.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -398,3 +398,77 @@ def test_point_add_double_bodies():
             _eq_tree(got_dbl, G.double(K, p))
         finally:
             set_pallas(None)
+
+
+def _msm_accumulate_jnp(ncoords, packed, digits, nb):
+    """jnp reference of pallas_fused.msm_accumulate (same lane tiling,
+    same one-hot bucket semantics, same running-sum reduction)."""
+    C3 = 3 * ncoords
+    W, n = digits.shape
+    lanes = PF._TILE_S * 128
+    m = n // lanes
+    K = G.G1 if ncoords == 1 else G.G2
+
+    def tree_of(arr):
+        if ncoords == 1:
+            return (arr[0], arr[1], arr[2])
+        return ((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5]))
+
+    outs = []
+    for w in range(W):
+        buckets = [G.zero_point(K, lanes) for _ in range(nb - 1)]
+        for i in range(m):
+            q = tree_of(packed[:, :, i * lanes:(i + 1) * lanes])
+            d = digits[w, i * lanes:(i + 1) * lanes]
+            cur = G.zero_point(K, lanes)
+            for b in range(1, nb):
+                mask = d == b
+                cur = tuple(K.select(mask, x, y)
+                            for x, y in zip(buckets[b - 1], cur))
+            new = G.add(K, cur, q)
+            for b in range(1, nb):
+                mask = d == b
+                buckets[b - 1] = tuple(
+                    K.select(mask, x, y)
+                    for x, y in zip(new, buckets[b - 1]))
+        acc = G.zero_point(K, lanes)
+        tot = G.zero_point(K, lanes)
+        for b in range(nb - 1, 0, -1):
+            acc = G.add(K, acc, buckets[b - 1])
+            tot = G.add(K, tot, acc)
+        outs.append(jnp.stack(jax.tree.leaves(tot)))      # [C3, N, lanes]
+    return jnp.stack(outs)                                 # [W, C3, N, lanes]
+
+
+def test_msm_fused_glue_vs_scan(monkeypatch):
+    """_msm_fused end to end on CPU with the mega-kernel swapped for its
+    jnp reference: covers digit extraction (limb-straddling c), infinity
+    masking, padding, window Horner, and the lane fold, against the
+    scan-based Pippenger (oracle-verified in test_device_msm).  The real
+    Mosaic kernel is gated on TPU hardware by scripts/bench_msm_fused.py,
+    which asserts the same oracle equality there."""
+    import random as _r
+
+    from bn254_tpu import msm as M
+    from bn254_tpu.spec.constants import R
+
+    monkeypatch.setattr(PF, "_TILE_S", 1)   # lanes=128 tiles
+    monkeypatch.setattr(PF, "msm_accumulate", _msm_accumulate_jnp)
+    rng = _r.Random(0xA11CE)
+    n = 192                                  # pads to 256 (2 tiles)
+    ks = [rng.randrange(R) for _ in range(n - 2)] + [0, 1]
+    k = jnp.asarray(L.stack_ints(ks))
+    # build the point set host-side (spec ints) — an eager device
+    # scalar_mul here would compile a 256-step scan for nothing
+    ops, gen = SG.G1_PARAMS[0], SG.G1_PARAMS[1]
+    spts = [SG.scalar_mul((gen[0], gen[1], ops.one), kv, ops) for kv in ks]
+    spts[-2] = SG.zero(ops)                  # an explicit infinity input
+    pts = G.encode_points(G.G1, spts)
+    got = M._msm_fused(G.G1, pts, k, c=4)
+
+    # expected via the spec oracle
+    want = SG.zero(ops)
+    for kv, sp in zip(ks, spts):
+        want = SG.add(want, SG.scalar_mul(sp, kv, ops), ops)
+    dec = G.decode_points(G.G1, jax.tree.map(np.asarray, got))[0]
+    assert SG.eq(dec, want, ops)
