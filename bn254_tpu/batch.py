@@ -56,18 +56,49 @@ def _jit_msm(kind: str, tiles):
     return jax.jit(lambda p, s: M.msm(K, p, s, tiles=tiles))
 
 
+@lru_cache(maxsize=None)
+def _jit_miller_batch():
+    return jax.jit(lambda p, q: PJ.miller_loop_batch(q, p))
+
+
+# Mosaic kernels recompile per batch shape (minutes over the tunnel), so
+# big batches run as fixed-size chunks of one cached shape; the per-chunk
+# Miller products (algebraically exact partials — the shared squaring
+# chain is per chunk, matching mod.rs:609-640 semantics chunk-wise) are
+# folded host-side and one final exponentiation finishes the product.
+_CHUNK = 1024
+
+
 def pairing_batch(pairs) -> "A.Gt":
     """Product of pairings with one shared final exponentiation
     (device analogue of lib.rs:615; silent infinity skip).
 
     pairs: iterable of (G1, G2) scalar-API objects."""
+    import os
+
     pairs = list(pairs)
     if not pairs:
         return A.Gt.one()
-    p = _g1_in([a for a, _ in pairs])
-    q = _g2_in([b for _, b in pairs])
-    out = _jit_pairing_batch()(p, q)
-    return A.Gt(T.fq12_decode(out)[0])
+    chunk = int(os.environ.get("BN254_BATCH_CHUNK", str(_CHUNK)))
+    if len(pairs) <= chunk:
+        p = _g1_in([a for a, _ in pairs])
+        q = _g2_in([b for _, b in pairs])
+        out = _jit_pairing_batch()(p, q)
+        return A.Gt(T.fq12_decode(out)[0])
+
+    from .spec import field as SF
+
+    acc = None
+    for i in range(0, len(pairs), chunk):
+        cp = pairs[i:i + chunk]
+        pad = chunk - len(cp)
+        # pad with infinity pairs — skipped silently, exactly like the
+        # scalar pairing_batch (mod.rs:911-920)
+        p = G.encode_points(G.G1, [a.p for a, _ in cp] + [None] * pad)
+        q = G.encode_points(G.G2, [b.p for _, b in cp] + [None] * pad)
+        f = T.fq12_decode(_jit_miller_batch()(p, q))[0]
+        acc = f if acc is None else SF.fq12_mul(acc, f)
+    return A.Gt(SF.fq12_final_exponentiation(acc))
 
 
 def pairing_each(pairs) -> list:

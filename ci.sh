@@ -1,7 +1,9 @@
 #!/bin/sh
 # CI entry point (SURVEY.md C14; reference .travis.yml:4-6 runs
-# `cargo test --release` + a no_std check).  One command, green, <20 min
-# on a 4-core CPU box with a warm compile cache (~18 min cold):
+# `cargo test --release` + a no_std check).  One command, green, ~20 min
+# cold / a few min warm on a 4-core CPU box (pytest-xdist runs test files
+# in 4 worker processes — see pytest.ini; that isolation is also what
+# keeps XLA:CPU's JIT under its per-process code-footprint limit):
 #
 #   sh ci.sh
 #
