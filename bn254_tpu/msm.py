@@ -97,7 +97,32 @@ def _msm_fused(K, points, scalars, c: int):
     inf = G.is_zero_point(K, points)
     dgs = jnp.where(inf[None, :], 0, dgs)
 
-    packed = PF.pack(points)                      # [3*ncoords, N, n+pad]
+    # batch-convert to affine for the kernel's mixed adds: ONE shared
+    # Fermat inversion via prefix/suffix Montgomery product scans
+    # (associative_scan: ~2 log2(n) batched muls) instead of a 254-step
+    # pow ladder per element.  Infinity lanes get z := 1 (their affine
+    # coords are garbage but their digits are already 0 -> discarded).
+    batch = K.batch_of(points[0])
+    ones_b = K.ones(batch)
+    z = K.select(inf, ones_b, points[2])
+    mulK = lambda a, b: K.mul(a, b)
+    rev = lambda t: jax.tree.map(lambda a: jnp.flip(a, axis=-1), t)
+    pre = jax.lax.associative_scan(mulK, z, axis=1)
+    suf = rev(jax.lax.associative_scan(mulK, rev(z), axis=1))
+    tinv = K.inv(jax.tree.map(lambda a: a[..., -1:], pre))
+    tinv_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, a.shape[:-1] + (batch,)), tinv)
+    idx = jnp.arange(batch)
+    pre1 = K.select(idx == 0, ones_b,
+                    jax.tree.map(lambda a: jnp.roll(a, 1, axis=-1), pre))
+    suf1 = K.select(idx == batch - 1, ones_b,
+                    jax.tree.map(lambda a: jnp.roll(a, -1, axis=-1), suf))
+    zinv = K.mul(K.mul(pre1, suf1), tinv_b)      # = z_i^-1
+    zi2 = K.sqr(zinv)
+    ax = K.mul(points[0], zi2)
+    ay = K.mul(points[1], K.mul(zi2, zinv))
+
+    packed = PF.pack((ax, ay))                    # [2*ncoords, N, n+pad]
     totals = PF.msm_accumulate(ncoords, packed, dgs, 1 << c)
     # [W, 3*ncoords, N, lanes] -> per-window point pytrees
     def win(wi):

@@ -566,6 +566,63 @@ def k_point_add(K, A, p, q):
     return out
 
 
+def k_point_madd(K, A, p, q):
+    """Unified branchless MIXED add: p Jacobian + q affine (z2 = 1),
+    madd-2007-bl shape — 8M+3S vs the full add's 11M+5S, and the
+    coincide branch doubles the AFFINE representative (1M+5S vs 2M+5S).
+
+    The result is the same group element as k_point_add(p, (qx, qy, 1))
+    but may differ in Jacobian representative on the coincide branch —
+    callers must compare projectively (MSM buckets qualify; outputs are
+    normalized/compared via to_affine/eq_points).  q MUST be finite:
+    infinity inputs are handled upstream (MSM's discard bucket)."""
+    qx, qy = q
+    p_inf = A.is_zero(K, p[2])
+
+    z1s = A.sqr(K, p[2])
+    u2 = A.mul(K, qx, z1s)
+    s2 = A.mul(K, qy, A.mul(K, p[2], z1s))
+
+    coincide = A.eq(K, p[0], u2) & A.eq(K, p[1], s2) & ~p_inf
+
+    h = A.sub(K, u2, p[0])
+    d = A.sub(K, s2, p[1])
+    rr = A.add(K, d, d)
+    i = A.sqr(K, A.add(K, h, h))
+    j = A.mul(K, h, i)
+    v = A.mul(K, p[0], i)
+    s1j = A.mul(K, p[1], j)
+    x3 = A.sub(K, A.sub(K, A.sqr(K, rr), j), A.add(K, v, v))
+    y3 = A.sub(K, A.mul(K, rr, A.sub(K, v, x3)), A.add(K, s1j, s1j))
+    zh = A.mul(K, p[2], h)
+    generic = (x3, y3, A.add(K, zh, zh))     # h == 0 (p == -q) -> infinity
+
+    # affine doubling of q (any representative of 2p works projectively)
+    a = A.sqr(K, qx)
+    b = A.sqr(K, qy)
+    c = A.sqr(K, b)
+    d2 = A.sub(K, A.sub(K, A.sqr(K, A.add(K, qx, b)), a), c)
+    d2 = A.add(K, d2, d2)
+    e = A.add(K, A.add(K, a, a), a)
+    f = A.sqr(K, e)
+    xd = A.sub(K, f, A.add(K, d2, d2))
+    c8 = A.add(K, c, c)
+    c8 = A.add(K, c8, c8)
+    c8 = A.add(K, c8, c8)
+    dbl = (xd, A.sub(K, A.mul(K, e, A.sub(K, d2, xd)), c8),
+           A.add(K, qy, qy))
+
+    one = K.const_fq(K.mont_one, jax.tree.leaves(qx)[0])
+    zero = K.zero_fq(jax.tree.leaves(qx)[0])
+    if A.COORDS == 1:
+        q_jac = (qx, qy, one)
+    else:
+        q_jac = (qx, qy, (one, zero))
+
+    out = tuple(A.select(K, coincide, x, y) for x, y in zip(dbl, generic))
+    return tuple(A.select(K, p_inf, x, y) for x, y in zip(q_jac, out))
+
+
 def _point_of(ref, A):
     c = A.COORDS
     return (A.read(ref, 0), A.read(ref, c), A.read(ref, 2 * c))
@@ -1229,13 +1286,17 @@ def _sel_pt(K, A, mask, a, b):
 def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
     """Bucket-accumulate + reduce all windows of a Pippenger MSM.
 
-    points_packed: [3*ncoords, N, n] uint32 (Jacobian, batch last);
+    points_packed: [2*ncoords, N, n] uint32 (AFFINE x,y, batch last —
+    batch-inverted upstream; the accumulation add is the mixed
+    madd-2007-bl, ~1.4x fewer muls than the full Jacobian add);
     digits: [W, n] int32 in [0, nb); nb = 2^c buckets (bucket 0 is the
-    discard bucket — masked-out/infinity points must carry digit 0).
+    discard bucket — masked-out/infinity/padding points must carry
+    digit 0, so the kernel only ever adds finite affine points).
     Returns [W, 3*ncoords, N, lanes] window totals (lanes = tile lanes;
     each lane an independent partial; fold lanes then Horner windows).
     """
     ncoords = K_group_coords
+    C2 = 2 * ncoords
     C3 = 3 * ncoords
     W, n = digits.shape
     sub = _TILE_S
@@ -1243,7 +1304,7 @@ def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
     assert n % lanes == 0, "pad the point batch to a multiple of sub*128"
     m = n // lanes
     call = _msm_acc_impl(m, W, nb, ncoords, sub, _INTERPRET)
-    p4 = points_packed.reshape(C3, N, m * sub, 128)
+    p4 = points_packed.reshape(C2, N, m * sub, 128)
     d3 = digits.reshape(W, m * sub, 128)
     out = call(d3, p4)                      # [W*C3, N, sub, 128]
     return out.reshape(W, C3, N, lanes)
@@ -1266,7 +1327,8 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
             bk_ref[...] = jnp.zeros((rows, N, sub, 128), jnp.uint32)
 
         d = d_ref[0]                        # [sub, 128] int32
-        q = _read_pt(p_ref, A, 0)
+        qx = A.read(p_ref, 0)
+        qy = A.read(p_ref, A.COORDS)
         zfq = K.zero_fq(p_ref[0, 0])
         zc = zfq if ncoords == 1 else (zfq, zfq)
         zero_pt = (zc, zc, zc)
@@ -1278,7 +1340,7 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
             bb = _read_pt(bk_ref, A, (b - 1) * C3)
             cur = _sel_pt(K, A, mask, bb, cur)
 
-        new = k_point_add(K, A, cur, q)
+        new = k_point_madd(K, A, cur, (qx, qy))
 
         # one-hot scatter-back (digit-0 lanes write nothing)
         for b in range(1, nb):
@@ -1302,11 +1364,12 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
                                          (zero_pt, zero_pt))
             _write_pt(out_ref, A, 0, tot)
 
+    C2 = 2 * ncoords
     d_spec = pl.BlockSpec((1, sub, 128), lambda w, i: (w, i, 0),
                           memory_space=pltpu.ANY if interpret
                           else pltpu.VMEM)
     ms = pltpu.ANY if interpret else pltpu.VMEM
-    p_spec = pl.BlockSpec((C3, N, sub, 128), lambda w, i: (0, 0, i, 0),
+    p_spec = pl.BlockSpec((C2, N, sub, 128), lambda w, i: (0, 0, i, 0),
                           memory_space=ms)
     o_spec = pl.BlockSpec((C3, N, sub, 128), lambda w, i: (w, 0, 0, 0),
                           memory_space=ms)

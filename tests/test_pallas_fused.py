@@ -402,17 +402,19 @@ def test_point_add_double_bodies():
 
 def _msm_accumulate_jnp(ncoords, packed, digits, nb):
     """jnp reference of pallas_fused.msm_accumulate (same lane tiling,
-    same one-hot bucket semantics, same running-sum reduction)."""
-    C3 = 3 * ncoords
+    same one-hot bucket semantics, same running-sum reduction; the mixed
+    madd is replaced by the full unified add on (x, y, 1) — same group
+    element, possibly different Jacobian representative)."""
     W, n = digits.shape
     lanes = PF._TILE_S * 128
     m = n // lanes
     K = G.G1 if ncoords == 1 else G.G2
 
     def tree_of(arr):
+        ones = K.ones(arr.shape[-1])
         if ncoords == 1:
-            return (arr[0], arr[1], arr[2])
-        return ((arr[0], arr[1]), (arr[2], arr[3]), (arr[4], arr[5]))
+            return (arr[0], arr[1], ones)
+        return ((arr[0], arr[1]), (arr[2], arr[3]), ones)
 
     outs = []
     for w in range(W):
@@ -472,3 +474,42 @@ def test_msm_fused_glue_vs_scan(monkeypatch):
         want = SG.add(want, SG.scalar_mul(sp, kv, ops), ops)
     dec = G.decode_points(G.G1, jax.tree.map(np.asarray, got))[0]
     assert SG.eq(dec, want, ops)
+
+
+def test_point_madd_body():
+    """k_point_madd (mixed unified add) vs the full unified add on
+    (x, y, 1), compared PROJECTIVELY (the coincide branch doubles the
+    affine representative).  Edge operands: bucket at infinity, p == q
+    (double), p == -q (infinity result), generic."""
+    from bn254_tpu.fields import set_pallas
+
+    for coords, K, P in ((1, G.G1, SG.G1_PARAMS), (2, G.G2, SG.G2_PARAMS)):
+        ops, gen = P[0], P[1]
+        base = [SG.scalar_mul((gen[0], gen[1], ops.one), 3 + i, ops)
+                for i in range(B)]
+        q_aff = [SG.to_affine(p, ops) for p in base]       # (x, y) finite
+        p_pts = []
+        for i, (x, y) in enumerate(q_aff):
+            if i % 4 == 0:
+                p_pts.append(SG.zero(ops))                 # inf + q
+            elif i % 4 == 1:
+                p_pts.append((x, y, ops.one))              # p == q
+            elif i % 4 == 2:
+                p_pts.append((x, ops.neg(y), ops.one))     # p == -q
+            else:
+                p_pts.append(SG.scalar_mul(base[i], 7, ops))
+        p = G.encode_points(K, p_pts)
+        qx = K.encode([x for x, _ in q_aff])
+        qy = K.encode([y for _, y in q_aff])
+
+        KC = _emu_kctx()
+        A = PF.FqA if coords == 1 else PF.Fq2A
+        got = _map_tree(_unpk, PF.k_point_madd(
+            KC, A, _map_tree(_pk, p), (_map_tree(_pk, qx),
+                                       _map_tree(_pk, qy))))
+        set_pallas(False)
+        try:
+            want = G.add(K, p, G.to_jacobian(K, (qx, qy)))
+            assert bool(np.asarray(G.eq_points(K, got, want)).all())
+        finally:
+            set_pallas(None)
