@@ -104,7 +104,8 @@ def main():
     bench("pairing",
           lambda mesh: lambda: PAR.pairing_batch_sharded(mesh, g1, g2))
     bench("msm",
-          lambda mesh: lambda: PAR.msm_sharded(mesh, G.G1, pts, scl))
+          lambda mesh: lambda: PAR.msm_sharded(mesh, G.G1, pts, scl,
+                                               tiles=8))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
