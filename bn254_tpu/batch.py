@@ -117,10 +117,13 @@ def _msm(kind, wrap, encode, points, scalars, tiles):
     scalars = list(scalars)
     assert len(points) == len(scalars) and points
     if tiles is None:
-        tiles = max(1, min(64, len(points) // 4 or 1))
-    while len(points) % tiles:
-        points.append(type(points[0]).zero())
-        scalars.append(A.Fr.zero())
+        # let msm() pick its path: the fused VMEM-bucket mega-kernel on
+        # TPU (pads internally), the scan design elsewhere
+        pass
+    else:
+        while len(points) % tiles:
+            points.append(type(points[0]).zero())
+            scalars.append(A.Fr.zero())
     out = _jit_msm(kind, tiles)(encode(points), _scalars_in(scalars))
     K = G.G1 if kind == "g1" else G.G2
     return wrap(G.decode_points(K, out)[0])
@@ -137,8 +140,12 @@ def msm_g2(points, scalars, tiles=None) -> "A.G2":
 
 @lru_cache(maxsize=None)
 def _jit_smul(kind):
+    # GLV joint ladder: 128 steps instead of 256 (same group element as
+    # the double-and-add oracle; parity tested in tests/test_glv.py)
+    from . import glv
+
     K = G.G1 if kind == "g1" else G.G2
-    return jax.jit(lambda p, s: G.scalar_mul(K, p, s))
+    return jax.jit(lambda p, s: glv.scalar_mul_glv(K, p, s))
 
 
 def scalar_mul_g1(points, scalars) -> list:
