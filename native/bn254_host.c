@@ -19,6 +19,9 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 typedef unsigned __int128 u128;
 typedef struct { uint64_t v[4]; } u256;
@@ -1098,15 +1101,15 @@ int bn254_miller_loop_batch(int n, const uint64_t *qs, const uint64_t *ps,
     return 0;
 }
 
-/* reduced pairing batch with silent infinity skip (mod.rs:904-926) */
-int bn254_pairing_batch(int n, const uint64_t *ps, const uint64_t *qs,
-                        uint64_t *out) {
-    if (n < 0) return -2;
-    fq12 f, r;
-    batch_buf b;
-    if (n > 0 && !batch_alloc(&b, n)) return -3;
+/* slice worker: to_affine + precompute + Miller product over pairs
+ * [lo, hi); infinity pairs silently skipped (mod.rs:911-920).  Writes
+ * into the CALLER's batch_buf at slice-local offsets (disjoint per
+ * slice, so slices run in parallel).  Returns the slice's live count;
+ * *f is the slice's un-exponentiated Miller product (1 if empty). */
+static int pairing_batch_slice(fq12 *f, batch_buf *b, int lo, int hi,
+                               const uint64_t *ps, const uint64_t *qs) {
     int live = 0;
-    for (int t = 0; t < n; t++) {
+    for (int t = lo; t < hi; t++) {
         g1_t p;
         g2_t q;
         load_g1(&p, ps + 12 * t);
@@ -1115,18 +1118,81 @@ int bn254_pairing_batch(int n, const uint64_t *ps, const uint64_t *qs,
         fq2 qx, qy;
         if (!g1_to_affine(&px, &py, &p)) continue;
         if (!g2_to_affine(&qx, &qy, &q)) continue;
-        b.pxs[live] = px;
-        b.pys[live] = py;
-        precompute(&b.coeffs[live * N_COEFFS], &qx, &qy);
+        b->pxs[lo + live] = px;
+        b->pys[lo + live] = py;
+        precompute(&b->coeffs[(lo + live) * N_COEFFS], &qx, &qy);
         live++;
     }
-    if (live == 0) {
-        fq12_one(&r);
-        store_fq12(out, &r);
-        if (n > 0) batch_free(&b);
-        return 0;
+    if (live == 0)
+        fq12_one(f);
+    else
+        miller_loop_batch_m(f, live, &b->coeffs[lo * N_COEFFS],
+                            &b->pxs[lo], &b->pys[lo]);
+    return live;
+}
+
+/* reduced pairing batch with silent infinity skip (mod.rs:904-926).
+ *
+ * Parallelism (beyond the single-threaded reference): the Miller
+ * product splits exactly across any partition of the pairs — each
+ * OpenMP thread computes its slice's shared-squaring Miller product,
+ * the partials multiply, and ONE final exponentiation finishes.  The
+ * only extra work vs serial is one 64-squaring chain per extra slice
+ * (negligible beyond a few dozen pairs). */
+#define BN254_OMP_MIN_PER_THREAD 16
+#define BN254_MAX_THREADS 64
+
+int bn254_pairing_batch(int n, const uint64_t *ps, const uint64_t *qs,
+                        uint64_t *out) {
+    if (n < 0) return -2;
+    fq12 f, r;
+    batch_buf b;
+    if (n > 0 && !batch_alloc(&b, n)) return -3;
+
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+    if (nthreads > n / BN254_OMP_MIN_PER_THREAD)
+        nthreads = n / BN254_OMP_MIN_PER_THREAD;
+    if (nthreads > BN254_MAX_THREADS) nthreads = BN254_MAX_THREADS;
+    if (nthreads < 1) nthreads = 1;
+#endif
+
+    if (nthreads == 1) {
+        int live = pairing_batch_slice(&f, &b, 0, n, ps, qs);
+        if (live == 0) {
+            fq12_one(&r);
+            store_fq12(out, &r);
+            if (n > 0) batch_free(&b);
+            return 0;
+        }
+    } else {
+#ifdef _OPENMP
+        fq12 partials[BN254_MAX_THREADS];
+        int lives[BN254_MAX_THREADS];
+#pragma omp parallel num_threads(nthreads)
+        {
+            int tid = omp_get_thread_num();
+            int lo = (int)((long)n * tid / nthreads);
+            int hi = (int)((long)n * (tid + 1) / nthreads);
+            lives[tid] = pairing_batch_slice(&partials[tid], &b, lo, hi,
+                                             ps, qs);
+        }
+        int any = 0;
+        fq12_one(&f);
+        for (int t = 0; t < nthreads; t++) {
+            if (!lives[t]) continue;
+            fq12_mul(&f, &f, &partials[t]);
+            any = 1;
+        }
+        if (!any) {
+            fq12_one(&r);
+            store_fq12(out, &r);
+            batch_free(&b);
+            return 0;
+        }
+#endif
     }
-    miller_loop_batch_m(&f, live, b.coeffs, b.pxs, b.pys);
     fq12_final_exp(&r, &f);
     store_fq12(out, &r);
     batch_free(&b);

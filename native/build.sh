@@ -3,5 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 python3 gen_consts.py
-${CC:-gcc} -O3 -shared -fPIC -Wall -o libbn254_host.so bn254_host.c
+${CC:-gcc} -O3 -shared -fPIC -Wall -fopenmp -o libbn254_host.so bn254_host.c
 echo "built native/libbn254_host.so"
