@@ -55,3 +55,24 @@ def test_glv_matches_oracle_g1():
 
 def test_glv_matches_oracle_g2():
     _check_group(G.G2)
+
+
+def test_decompose_bounds_at_scale():
+    """20,000 random scalars + adversarial edges through the batched
+    decomposition in one device call: identity k = k1 + k2*lambda (mod R)
+    and |ki| < 2^NUM_BITS for every lane (the Barrett rounding slack is
+    what the 128-step ladder depth relies on)."""
+    rng = random.Random(0xD15C)
+    n = 20000
+    ks = [rng.randrange(R) for _ in range(n - 6)] + [
+        0, 1, R - 1, R // 2, glv.LAMBDA, R - glv.LAMBDA]
+    k = jnp.asarray(L.stack_ints(ks))
+    a1, s1, a2, s2 = glv.decompose(k)
+    a1 = np.asarray(a1); a2 = np.asarray(a2)
+    s1 = np.asarray(s1); s2 = np.asarray(s2)
+    top = L.N_LIMBS * L.LIMB_BITS
+    for i, kv in enumerate(ks):
+        k1 = L.int_from_limbs(a1[:, i]) * (-1 if s1[i] else 1)
+        k2 = L.int_from_limbs(a2[:, i]) * (-1 if s2[i] else 1)
+        assert (k1 + k2 * glv.LAMBDA) % R == kv, i
+        assert abs(k1) < 1 << glv.NUM_BITS and abs(k2) < 1 << glv.NUM_BITS, i
