@@ -94,12 +94,16 @@ def main():
             eff = times.get(1, dt) / (n * dt)
             times[n] = dt
             print(f"{name:8s} ndev={n:2d}  {dt*1e3:9.1f} ms"
-                  f"  speedup={times[1]/dt:5.2f}x  eff={eff:5.1%}")
-        results["runs"][name] = {
-            str(n): {"seconds": times[n],
-                     "speedup": times[1] / times[n],
-                     "efficiency": times[1] / (n * times[n])}
-            for n in sizes}
+                  f"  speedup={times[1]/dt:5.2f}x  eff={eff:5.1%}",
+                  flush=True)
+            results["runs"].setdefault(name, {})[str(n)] = {
+                "seconds": dt,
+                "speedup": times[1] / dt,
+                "efficiency": times[1] / (n * dt)}
+            # write incrementally: long CPU-mesh runs can hit timeouts
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                json.dump(results, fh, indent=1)
 
     bench("pairing",
           lambda mesh: lambda: PAR.pairing_batch_sharded(mesh, g1, g2))
@@ -107,9 +111,6 @@ def main():
           lambda mesh: lambda: PAR.msm_sharded(mesh, G.G1, pts, scl,
                                                tiles=8))
 
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as fh:
-        json.dump(results, fh, indent=1)
     print("wrote", args.out)
 
 
