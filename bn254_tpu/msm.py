@@ -2,7 +2,19 @@
 no equivalent exists in the reference — see SURVEY.md §2 note and §7
 phase 7).
 
-Design (TPU-first):
+Two designs live here:
+
+* **Fused mega-kernel** (TPU default, `_msm_fused` +
+  `pallas_fused.msm_accumulate`): grid (windows x point tiles), each
+  window's bucket block resident in VMEM, one-hot select accumulation
+  with the mixed-affine madd, in-kernel running-sum reduction.  Chosen
+  because XLA lowers any random bucket access — regardless of layout —
+  to one DMA per row (measured 94% of MSM wall time at 2^18,
+  scripts/bench_msm.py); keeping the "scatter" on the vector datapath
+  as static selects removes it entirely.  2^20 G1 points in ~0.7 s on a
+  v5e (round 2).
+* **Scan design** (CPU/tape and the tile-invariance tests), described
+  below:
 
 * Scalars are split into W = ceil(256/c) windows of c bits.
 * The point set is reshaped into T parallel tiles.  ALL W windows are
