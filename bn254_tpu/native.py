@@ -168,6 +168,22 @@ def pairing_batch(ps, qs):
     return _get_fq12(ob)
 
 
+def msm_g1(points, scalars):
+    """Pippenger MSM over G1 in C (host oracle for the device MSM at
+    scale): points = spec Jacobian triples, scalars = canonical ints."""
+    lib = load()
+    n = len(points)
+    assert n == len(scalars)
+    pb, kb, ob = _buf(12 * max(n, 1)), _buf(4 * max(n, 1)), _buf(12)
+    for t, p in enumerate(points):
+        _put_g1(pb, 12 * t, p)
+    for t, k in enumerate(scalars):
+        _put(kb, 4 * t, k)
+    rc = lib.bn254_msm_g1(n, pb, kb, ob)
+    assert rc == 0, f"native msm rc={rc}"
+    return _get_g1(ob)
+
+
 def miller_loop_batch(qs, ps):
     """Returns the un-exponentiated fq12, or raises ValueError on an
     infinity point (lib.rs:625-633 semantics)."""

@@ -1202,3 +1202,51 @@ int bn254_pairing_batch(int n, const uint64_t *ps, const uint64_t *qs,
 int bn254_pairing(const uint64_t *p, const uint64_t *q, uint64_t *out) {
     return bn254_pairing_batch(1, p, q, out);
 }
+
+/* Pippenger MSM over G1 — the host-side oracle for the device MSM at
+ * sizes where the Python spec is too slow (ROADMAP item 10).  Window
+ * width 8, windows parallel under OpenMP (each window's buckets are
+ * private); classic running-sum reduction + Horner.  Inputs/outputs in
+ * the canonical-ABI Jacobian format of the other entry points. */
+int bn254_msm_g1(int n, const uint64_t *ps, const uint64_t *ks,
+                 uint64_t *out) {
+    g1_t res;
+    memset(&res, 0, sizeof(res));
+    if (n <= 0) {
+        store_g1(out, &res);
+        return 0;
+    }
+    g1_t *pts = (g1_t *)malloc((size_t)n * sizeof(g1_t));
+    if (!pts) return -3;
+    for (int t = 0; t < n; t++) load_g1(&pts[t], ps + 12 * t);
+    enum { MSM_W = 32, MSM_NB = 256 };
+    g1_t windows[MSM_W];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < MSM_W; w++) {
+        g1_t buckets[MSM_NB - 1];
+        memset(buckets, 0, sizeof(buckets));
+        for (int t = 0; t < n; t++) {
+            const uint64_t *k = ks + 4 * t;
+            unsigned d = (unsigned)((k[w / 8] >> ((w % 8) * 8)) & 0xff);
+            if (d) g1_add(&buckets[d - 1], &buckets[d - 1], &pts[t]);
+        }
+        g1_t acc, tot;
+        memset(&acc, 0, sizeof(acc));
+        memset(&tot, 0, sizeof(tot));
+        for (int b = MSM_NB - 2; b >= 0; b--) {
+            g1_add(&acc, &acc, &buckets[b]);
+            g1_add(&tot, &tot, &acc);
+        }
+        windows[w] = tot;
+    }
+    res = windows[MSM_W - 1];
+    for (int w = MSM_W - 2; w >= 0; w--) {
+        for (int i = 0; i < 8; i++) g1_double(&res, &res);
+        g1_add(&res, &res, &windows[w]);
+    }
+    free(pts);
+    store_g1(out, &res);
+    return 0;
+}

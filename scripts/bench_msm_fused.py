@@ -45,10 +45,23 @@ def main():
 
     for nlog in sizes:
         n = 1 << nlog
-        ks = jnp.asarray(L.stack_ints(
-            [rng.randrange(1, 1 << 253) for _ in range(n)]))
+        kv = [rng.randrange(1, 1 << 253) for _ in range(n)]
+        ks = jnp.asarray(L.stack_ints(kv))
         pts = G.double(G.G1, G.generator(G.G1, n))
         fn = jax.jit(lambda p, s: M.msm(G.G1, p, s))
+
+        # full-scale correctness vs the native C Pippenger oracle
+        try:
+            from bn254_tpu import native as NV
+
+            dec = G.decode_points(
+                G.G1, jax.tree.map(np.asarray, fn(pts, ks)))[0]
+            two_g = SG.double((gen[0], gen[1], ops1.one), ops1)
+            want = NV.msm_g1([two_g] * n, kv)
+            assert SG.eq(dec, want, ops1), f"2^{nlog} diverges from native"
+            print(f"n=2^{nlog}: bit-exact vs native C oracle")
+        except OSError:
+            pass  # native engine not built
 
         def digest(out):
             return sum(jnp.sum(x, dtype=jnp.uint32)

@@ -96,3 +96,25 @@ def test_bilinearity_native():
     e1 = N.pairing(_g1(a * s % R), _g2(b))
     e2 = N.pairing(_g1(a), _g2(b * s % R))
     assert e1 == e2 != SF.FQ12_ONE
+
+
+def test_native_msm_g1_vs_spec():
+    """C Pippenger MSM (the at-scale oracle for the device MSM) against
+    the spec engine, with zero scalar + infinity point mixed in."""
+    import random
+
+    from bn254_tpu import native as NV
+    from bn254_tpu.spec import group as SG
+    from bn254_tpu.spec.constants import R
+
+    rng = random.Random(0x517)
+    ops, gen = SG.G1_PARAMS[0], SG.G1_PARAMS[1]
+    n = 200
+    ks = [rng.randrange(R) for _ in range(n - 3)] + [0, 1, R - 1]
+    pts = [SG.scalar_mul((gen[0], gen[1], ops.one),
+                         rng.randrange(1, 1 << 50), ops) for _ in range(n)]
+    pts[5] = SG.zero(ops)
+    want = SG.zero(ops)
+    for p, k in zip(pts, ks):
+        want = SG.add(want, SG.scalar_mul(p, k, ops), ops)
+    assert SG.eq(NV.msm_g1(pts, ks), want, ops)
