@@ -184,6 +184,21 @@ def msm_g1(points, scalars):
     return _get_g1(ob)
 
 
+def msm_g2(points, scalars):
+    """Pippenger MSM over G2 in C (see msm_g1)."""
+    lib = load()
+    n = len(points)
+    assert n == len(scalars)
+    pb, kb, ob = _buf(24 * max(n, 1)), _buf(4 * max(n, 1)), _buf(24)
+    for t, p in enumerate(points):
+        _put_g2(pb, 24 * t, p)
+    for t, k in enumerate(scalars):
+        _put(kb, 4 * t, k)
+    rc = lib.bn254_msm_g2(n, pb, kb, ob)
+    assert rc == 0, f"native msm rc={rc}"
+    return _get_g2(ob)
+
+
 def miller_loop_batch(qs, ps):
     """Returns the un-exponentiated fq12, or raises ValueError on an
     infinity point (lib.rs:625-633 semantics)."""

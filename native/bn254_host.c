@@ -1250,3 +1250,47 @@ int bn254_msm_g1(int n, const uint64_t *ps, const uint64_t *ks,
     store_g1(out, &res);
     return 0;
 }
+
+/* Same Pippenger over the twist G2 (24 u64 per point). */
+int bn254_msm_g2(int n, const uint64_t *ps, const uint64_t *ks,
+                 uint64_t *out) {
+    g2_t res;
+    memset(&res, 0, sizeof(res));
+    if (n <= 0) {
+        store_g2(out, &res);
+        return 0;
+    }
+    g2_t *pts = (g2_t *)malloc((size_t)n * sizeof(g2_t));
+    if (!pts) return -3;
+    for (int t = 0; t < n; t++) load_g2(&pts[t], ps + 24 * t);
+    enum { MSM_W = 32, MSM_NB = 256 };
+    g2_t windows[MSM_W];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < MSM_W; w++) {
+        g2_t buckets[MSM_NB - 1];
+        memset(buckets, 0, sizeof(buckets));
+        for (int t = 0; t < n; t++) {
+            const uint64_t *k = ks + 4 * t;
+            unsigned d = (unsigned)((k[w / 8] >> ((w % 8) * 8)) & 0xff);
+            if (d) g2_add(&buckets[d - 1], &buckets[d - 1], &pts[t]);
+        }
+        g2_t acc, tot;
+        memset(&acc, 0, sizeof(acc));
+        memset(&tot, 0, sizeof(tot));
+        for (int b = MSM_NB - 2; b >= 0; b--) {
+            g2_add(&acc, &acc, &buckets[b]);
+            g2_add(&tot, &tot, &acc);
+        }
+        windows[w] = tot;
+    }
+    res = windows[MSM_W - 1];
+    for (int w = MSM_W - 2; w >= 0; w--) {
+        for (int i = 0; i < 8; i++) g2_double(&res, &res);
+        g2_add(&res, &res, &windows[w]);
+    }
+    free(pts);
+    store_g2(out, &res);
+    return 0;
+}

@@ -118,3 +118,23 @@ def test_native_msm_g1_vs_spec():
     for p, k in zip(pts, ks):
         want = SG.add(want, SG.scalar_mul(p, k, ops), ops)
     assert SG.eq(NV.msm_g1(pts, ks), want, ops)
+
+
+def test_native_msm_g2_vs_spec():
+    import random
+
+    from bn254_tpu import native as NV
+    from bn254_tpu.spec import group as SG
+    from bn254_tpu.spec.constants import R
+
+    rng = random.Random(0x527)
+    ops, gen = SG.G2_PARAMS[0], SG.G2_PARAMS[1]
+    n = 48
+    ks = [rng.randrange(R) for _ in range(n - 2)] + [0, 1]
+    pts = [SG.scalar_mul((gen[0], gen[1], ops.one),
+                         rng.randrange(1, 1 << 40), ops) for _ in range(n)]
+    pts[3] = SG.zero(ops)
+    want = SG.zero(ops)
+    for p, k in zip(pts, ks):
+        want = SG.add(want, SG.scalar_mul(p, k, ops), ops)
+    assert SG.eq(NV.msm_g2(pts, ks), want, ops)
