@@ -202,6 +202,74 @@ class KCtx:
             c = v >> LB
         return self.cond_sub(limbs)
 
+    # -- lazy-reduction column domain (signed int32 column sums) ----------
+    #
+    # A Montgomery product splits into a product phase (schoolbook columns,
+    # ~half the vinsts) and a reduce phase (~half).  The reduce is LINEAR,
+    # so sums/differences of products can share ONE reduce: Fq2 Karatsuba
+    # drops from 3 reduces to 2 (c0 = m00 - m11, c1 = cross - m00 - m11,
+    # both reduced once).  Columns are signed int32: |col| < 3 * 2^21, and
+    # the reduced value lies in (-q, kq) for k = #summed products + 1,
+    # fixed up by one conditional +q and the usual conditional -q.
+    # int32<->uint32 hops are bitcasts (free on the VPU datapath).
+
+    def product_cols(self, a, b):
+        """Schoolbook product columns of two reduced operands -> list of
+        2N signed-int32 column sums (each in [0, 2^21))."""
+        t = [None] * (2 * N)
+
+        def acc(k, v):
+            t[k] = v if t[k] is None else t[k] + v
+
+        for i in range(N):
+            ai = a[i]
+            for j in range(N):
+                p = ai * b[j]
+                acc(i + j, (p & MASK).astype(jnp.int32))
+                acc(i + j + 1, (p >> LB).astype(jnp.int32))
+        return t
+
+    @staticmethod
+    def cols_sub(x, y):
+        return [a - b for a, b in zip(x, y)]
+
+    @staticmethod
+    def cols_add(x, y):
+        return [a + b for a, b in zip(x, y)]
+
+    def reduce_cols(self, t):
+        """Montgomery-reduce signed column sums -> canonical limbs.
+
+        Value-identical to _mont_reduce_tail on the same integer value
+        (mod q); tolerates negative columns (|col| < 2^26) and a result
+        value in (-q, 2q)."""
+        t = list(t)
+        for i in range(N):
+            low = (t[i] & MASK).astype(jnp.uint32)      # low 16 bits >= 0
+            m = (low * self.qinv) & MASK                 # uint32 math
+            for j in range(N):
+                p = m * self.q[j]
+                t[i + j] = t[i + j] + (p & MASK).astype(jnp.int32)
+                t[i + j + 1] = t[i + j + 1] + (p >> LB).astype(jnp.int32)
+            t[i + 1] = t[i + 1] + (t[i] >> LB)           # arithmetic shift
+        # signed carry-normalize the high half
+        limbs = []
+        c = None
+        for k in range(N):
+            v = t[N + k] if c is None else t[N + k] + c
+            limbs.append((v & MASK).astype(jnp.uint32))
+            c = v >> LB
+        neg = c < 0                                      # value in (-q, 0)
+        # conditional +q (mod 2^256), then the usual conditional -q
+        s = []
+        cc = None
+        for k in range(N):
+            v = limbs[k] + self.q[k] + (0 if cc is None else cc)
+            s.append(v & MASK)
+            cc = v >> LB
+        limbs = [_where(neg, sk, lk) for sk, lk in zip(s, limbs)]
+        return self.cond_sub(limbs)
+
     def sqr(self, a):
         """Montgomery square: off-diagonal products computed once and
         added twice — ~N^2/2 multiplies (value-identical to mul(a, a))."""
@@ -278,7 +346,27 @@ def kfq2_scale(K, a, k):
     return (K.mul(a[0], k), K.mul(a[1], k))
 
 
+# Lazy fq2 reduction: bit-exact vs the eager spelling in interpret mode
+# (tests/test_pallas_fused.py) but not yet Mosaic-validated on hardware
+# (the tunnel was down when it landed) — default OFF until
+# scripts/tpu_check.py passes with BN254_LAZY_FQ2=1.
+import os as _os
+
+_LAZY_FQ2 = _os.environ.get("BN254_LAZY_FQ2", "0") not in ("0", "")
+
+
 def kfq2_mul(K, a, b):
+    """Karatsuba; with BN254_LAZY_FQ2=1 the three products stay in the
+    signed column domain and each output coefficient reduces ONCE
+    (2 Montgomery reduces instead of 3 — the reduce is linear, fq2.rs
+    value semantics unchanged)."""
+    if _LAZY_FQ2:
+        m00 = K.product_cols(a[0], b[0])
+        m11 = K.product_cols(a[1], b[1])
+        cross = K.product_cols(K.add(a[0], a[1]), K.add(b[0], b[1]))
+        c0 = K.reduce_cols(K.cols_sub(m00, m11))
+        c1 = K.reduce_cols(K.cols_sub(K.cols_sub(cross, m00), m11))
+        return (c0, c1)
     aa = K.mul(a[0], b[0])
     bb = K.mul(a[1], b[1])
     cross = K.mul(K.add(a[0], a[1]), K.add(b[0], b[1]))

@@ -513,3 +513,17 @@ def test_point_madd_body():
             assert bool(np.asarray(G.eq_points(K, got, want)).all())
         finally:
             set_pallas(None)
+
+
+def test_fq2_mul_lazy_reduction(monkeypatch):
+    """The lazy-reduction kfq2_mul spelling (signed column domain, one
+    reduce per output coefficient) bit-exact vs the jnp path on random +
+    edge operands."""
+    monkeypatch.setattr(PF, "_LAZY_FQ2", True)
+    rng = random.Random(SEED + 11)
+    av, bv = _fq2_vals(rng, B), _fq2_vals(rng, B)
+    a, b = T.fq2_encode(av), T.fq2_encode(bv)
+    K = _emu_kctx()
+    ka = _map_tree(_pk, a)
+    kb = _map_tree(_pk, b)
+    _eq_tree(_map_tree(_unpk, PF.kfq2_mul(K, ka, kb)), _jnp_fq2_mul(a, b))
