@@ -84,6 +84,7 @@ class KCtx:
         self.q = tuple(int(x) for x in mod.q_np)
         self.notq = tuple(int(x) for x in mod.notq_np)
         self.qinv = int(mod.qinv)
+        self.modulus_int = int(mod.modulus)
         enc = lambda v: tuple(int(x) for x in mod.encode(v % mod.modulus))
         self.two_inv = enc(pow(2, mod.modulus - 2, mod.modulus))
         self.b2 = (enc(C.B2[0]), enc(C.B2[1]))
@@ -270,6 +271,54 @@ class KCtx:
         limbs = [_where(neg, sk, lk) for sk, lk in zip(s, limbs)]
         return self.cond_sub(limbs)
 
+    def reduce_cols_wide(self, t):
+        """reduce_cols for |value| < 32q (multi-product lazy sums across
+        the whole tower): 17-limb normalize — add the constant 32q, then
+        a binary descent of conditional subtracts 64q..q."""
+        t = list(t)
+        for i in range(N):
+            low = (t[i] & MASK).astype(jnp.uint32)
+            m = (low * self.qinv) & MASK
+            for j in range(N):
+                p = m * self.q[j]
+                t[i + j] = t[i + j] + (p & MASK).astype(jnp.int32)
+                t[i + j + 1] = t[i + j + 1] + (p >> LB).astype(jnp.int32)
+            t[i + 1] = t[i + 1] + (t[i] >> LB)
+        # 17-limb signed carry-normalize of the high half
+        limbs = []
+        c = None
+        for k in range(N):
+            v = t[N + k] if c is None else t[N + k] + c
+            limbs.append((v & MASK).astype(jnp.uint32))
+            c = v >> LB
+        # + 32q (value becomes non-negative, < 64q), carry into limb 16
+        off = [(32 * self.modulus_int >> (LB * k)) & MASK
+               for k in range(N + 1)]
+        cc = None
+        out = []
+        for k in range(N):
+            v = limbs[k] + off[k] + (0 if cc is None else cc)
+            out.append(v & MASK)
+            cc = v >> LB
+        top = (c + off[N] + cc).astype(jnp.uint32)       # limb 16, small
+        limbs = out
+        # conditional subtract kq for k = 64, 32, ..., 1 over 17 limbs
+        for kq in (64, 32, 16, 8, 4, 2, 1):
+            sub = [(kq * self.modulus_int >> (LB * k)) & MASK
+                   for k in range(N + 1)]
+            s = []
+            b = None
+            for k in range(N):
+                v = limbs[k] + ((~sub[k]) & MASK) + (1 if b is None else b)
+                s.append(v & MASK)
+                b = v >> LB
+            vtop = top + ((~sub[N]) & MASK) + b
+            stop = vtop & MASK
+            ge = (vtop >> LB) > 0                         # no borrow
+            limbs = [_where(ge, sk, lk) for sk, lk in zip(s, limbs)]
+            top = _where(ge, stop, top)
+        return limbs                                      # < q, top == 0
+
     def sqr(self, a):
         """Montgomery square: off-diagonal products computed once and
         added twice — ~N^2/2 multiplies (value-identical to mul(a, a))."""
@@ -383,6 +432,68 @@ def kfq2_mul_by_xi(K, a):
     return (K.sub(K.mul9(a[0]), a[1]), K.add(K.mul9(a[1]), a[0]))
 
 
+# --- column-domain fq2 (lazy reduction across whole tower ops) -------------
+#
+# A ColFq2 is a pair of signed-int32 column lists (unreduced Karatsuba
+# outputs).  All the tower's LINEAR combining (add/sub/xi/nonresidue)
+# happens here; only the final output coefficients Montgomery-reduce
+# (reduce_cols_wide).  Bounds: products contribute columns < 3*2^21;
+# the worst combination below (fq12 Karatsuba over Devegili fq6 with one
+# xi scaling) keeps |col| < 2^28 and |value| < 32q — inside int32 and
+# inside reduce_cols_wide's normalize window.
+
+def c2_prod(K, a, b):
+    m00 = K.product_cols(a[0], b[0])
+    m11 = K.product_cols(a[1], b[1])
+    cross = K.product_cols(K.add(a[0], a[1]), K.add(b[0], b[1]))
+    return (K.cols_sub(m00, m11),
+            K.cols_sub(K.cols_sub(cross, m00), m11))
+
+
+def c2_add(x, y):
+    return (KCtx.cols_add(x[0], y[0]), KCtx.cols_add(x[1], y[1]))
+
+
+def c2_sub(x, y):
+    return (KCtx.cols_sub(x[0], y[0]), KCtx.cols_sub(x[1], y[1]))
+
+
+def c2_xi(x):
+    # (9 + i) * (c0 + c1 i) = (9c0 - c1) + (9c1 + c0) i, on columns
+    return ([9 * a - b for a, b in zip(x[0], x[1])],
+            [9 * a + b for a, b in zip(x[1], x[0])])
+
+
+def c2_reduce(K, x):
+    return (K.reduce_cols_wide(x[0]), K.reduce_cols_wide(x[1]))
+
+
+def c6_prod(K, a, b):
+    """Devegili fq6 mul with every output kept in the column domain."""
+    a_a = c2_prod(K, a[0], b[0])
+    b_b = c2_prod(K, a[1], b[1])
+    c_c = c2_prod(K, a[2], b[2])
+    cross_bc = c2_prod(K, kfq2_add(K, a[1], a[2]), kfq2_add(K, b[1], b[2]))
+    cross_ab = c2_prod(K, kfq2_add(K, a[0], a[1]), kfq2_add(K, b[0], b[1]))
+    cross_ac = c2_prod(K, kfq2_add(K, a[0], a[2]), kfq2_add(K, b[0], b[2]))
+    c0 = c2_add(c2_xi(c2_sub(c2_sub(cross_bc, b_b), c_c)), a_a)
+    c1 = c2_add(c2_sub(c2_sub(cross_ab, a_a), b_b), c2_xi(c_c))
+    c2v = c2_sub(c2_add(c2_sub(cross_ac, a_a), b_b), c_c)
+    return (c0, c1, c2v)
+
+
+def c6_add(x, y):
+    return tuple(c2_add(a, b) for a, b in zip(x, y))
+
+
+def c6_sub(x, y):
+    return tuple(c2_sub(a, b) for a, b in zip(x, y))
+
+
+def c6_nonres(x):
+    return (c2_xi(x[2]), x[0], x[1])
+
+
 def kfq6_add(K, a, b):
     return tuple(kfq2_add(K, x, y) for x, y in zip(a, b))
 
@@ -400,6 +511,8 @@ def kfq6_mul_by_nonresidue(K, a):
 
 
 def kfq6_mul(K, a, b):
+    if _LAZY_FQ2:
+        return tuple(c2_reduce(K, c) for c in c6_prod(K, a, b))
     a_a = kfq2_mul(K, a[0], b[0])
     b_b = kfq2_mul(K, a[1], b[1])
     c_c = kfq2_mul(K, a[2], b[2])
@@ -432,6 +545,15 @@ def kfq6_sqr(K, a):
 
 
 def kfq12_mul(K, a, b):
+    if _LAZY_FQ2:
+        aa = c6_prod(K, a[0], b[0])
+        bb = c6_prod(K, a[1], b[1])
+        cross = c6_prod(K, kfq6_add(K, a[0], a[1]),
+                        kfq6_add(K, b[0], b[1]))
+        c0 = c6_add(c6_nonres(bb), aa)
+        c1 = c6_sub(c6_sub(cross, aa), bb)
+        return (tuple(c2_reduce(K, c) for c in c0),
+                tuple(c2_reduce(K, c) for c in c1))
     aa = kfq6_mul(K, a[0], b[0])
     bb = kfq6_mul(K, a[1], b[1])
     cross = kfq6_mul(K, kfq6_add(K, a[0], a[1]), kfq6_add(K, b[0], b[1]))
@@ -452,7 +574,51 @@ def kfq12_sqr(K, a):
     )
 
 
+def _kfq12_mul_by_024_lazy(K, a, x0, x2, x4):
+    """mul_by_024 with all 13 fq2 products in the column domain and one
+    Montgomery reduce per output coefficient (same algebra as the eager
+    spelling below, term for term)."""
+    (z0, z1, z2), (z3, z4, z5) = a
+
+    d0 = c2_prod(K, z0, x0)
+    d2 = c2_prod(K, z2, x2)
+    d4 = c2_prod(K, z4, x4)
+
+    p_z1x2 = c2_prod(K, z1, x2)
+    nz0 = c2_add(c2_xi(c2_add(p_z1x2, d4)), d0)
+
+    p_z5x4 = c2_prod(K, z5, x4)
+    p_z1x0 = c2_prod(K, z1, x0)
+    nz1 = c2_add(c2_xi(c2_add(p_z5x4, d2)), p_z1x0)
+    s1 = c2_add(c2_add(p_z1x2, p_z5x4), p_z1x0)
+
+    p_t1t0 = c2_prod(K, kfq2_add(K, z0, z2), kfq2_add(K, x0, x2))
+    p_z3x4 = c2_prod(K, z3, x4)
+    nz2 = c2_add(c2_sub(c2_sub(p_t1t0, d0), d2), p_z3x4)
+    s1 = c2_add(s1, p_z3x4)
+
+    p_t0t1 = c2_prod(K, kfq2_add(K, z2, z4), kfq2_add(K, x2, x4))
+    p_z3x0 = c2_prod(K, z3, x0)
+    nz3 = c2_add(c2_xi(c2_sub(c2_sub(p_t0t1, d2), d4)), p_z3x0)
+    s1 = c2_add(s1, p_z3x0)
+
+    p_z5x2 = c2_prod(K, z5, x2)
+    s1 = c2_add(s1, p_z5x2)
+    p_t2t0 = c2_prod(K, kfq2_add(K, z0, z4), kfq2_add(K, x0, x4))
+    nz4 = c2_add(c2_xi(p_z5x2), c2_sub(c2_sub(p_t2t0, d0), d4))
+
+    s0 = kfq2_add(K, kfq2_add(K, z1, z3), z5)
+    p_s0t0 = c2_prod(K, s0, kfq2_add(K, kfq2_add(K, x0, x2), x4))
+    nz5 = c2_sub(p_s0t0, s1)
+
+    red = lambda c: c2_reduce(K, c)
+    return ((red(nz0), red(nz1), red(nz2)),
+            (red(nz3), red(nz4), red(nz5)))
+
+
 def kfq12_mul_by_024(K, a, x0, x2, x4):
+    if _LAZY_FQ2:
+        return _kfq12_mul_by_024_lazy(K, a, x0, x2, x4)
     (z0, z1, z2), (z3, z4, z5) = a
 
     d0 = kfq2_mul(K, z0, x0)

@@ -527,3 +527,33 @@ def test_fq2_mul_lazy_reduction(monkeypatch):
     ka = _map_tree(_pk, a)
     kb = _map_tree(_pk, b)
     _eq_tree(_map_tree(_unpk, PF.kfq2_mul(K, ka, kb)), _jnp_fq2_mul(a, b))
+
+
+def test_tower_mul_lazy_reduction(monkeypatch):
+    """Lazy-reduction kfq6_mul / kfq12_mul / mul_by_024 (column domain
+    through the whole op, one wide-normalize reduce per coefficient)
+    bit-exact vs the jnp tower on random + edge operands."""
+    monkeypatch.setattr(PF, "_LAZY_FQ2", True)
+    rng = random.Random(SEED + 12)
+    K = _emu_kctx()
+
+    f12a = T.fq12_encode(_fq12_vals(rng, B))
+    f12b = T.fq12_encode(_fq12_vals(rng, B))
+    ka = _map_tree(_pk, f12a)
+    kb = _map_tree(_pk, f12b)
+    _eq_tree(_map_tree(_unpk, PF.kfq12_mul(K, ka, kb)),
+             T.fq12_mul(f12a, f12b))
+
+    f6a = tuple(T.fq2_encode(_fq2_vals(rng, B)) for _ in range(3))
+    f6b = tuple(T.fq2_encode(_fq2_vals(rng, B)) for _ in range(3))
+    _eq_tree(_map_tree(_unpk, PF.kfq6_mul(K, _map_tree(_pk, f6a),
+                                          _map_tree(_pk, f6b))),
+             T.fq6_mul(f6a, f6b))
+
+    x0 = T.fq2_encode(_fq2_vals(rng, B))
+    x2 = T.fq2_encode(_fq2_vals(rng, B))
+    x4 = T.fq2_encode(_fq2_vals(rng, B))
+    _eq_tree(_map_tree(_unpk, PF.kfq12_mul_by_024(
+        K, ka, _map_tree(_pk, x0), _map_tree(_pk, x2),
+        _map_tree(_pk, x4))),
+             T.fq12_mul_by_024(f12a, x0, x2, x4))
