@@ -545,15 +545,11 @@ def kfq6_sqr(K, a):
 
 
 def kfq12_mul(K, a, b):
-    if _LAZY_FQ2:
-        aa = c6_prod(K, a[0], b[0])
-        bb = c6_prod(K, a[1], b[1])
-        cross = c6_prod(K, kfq6_add(K, a[0], a[1]),
-                        kfq6_add(K, b[0], b[1]))
-        c0 = c6_add(c6_nonres(bb), aa)
-        c1 = c6_sub(c6_sub(cross, aa), bb)
-        return (tuple(c2_reduce(K, c) for c in c0),
-                tuple(c2_reduce(K, c) for c in c1))
+    # With _LAZY_FQ2, laziness lives INSIDE the three kfq6_mul calls
+    # (18 reduces instead of 54); carrying their outputs onward in the
+    # column domain would apply xi twice, pushing |value| past the
+    # +-32q normalize window and |column| past int32 on adversarial
+    # operands — so the fq12-level combine stays in the value domain.
     aa = kfq6_mul(K, a[0], b[0])
     bb = kfq6_mul(K, a[1], b[1])
     cross = kfq6_mul(K, kfq6_add(K, a[0], a[1]), kfq6_add(K, b[0], b[1]))

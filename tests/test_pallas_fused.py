@@ -529,16 +529,37 @@ def test_fq2_mul_lazy_reduction(monkeypatch):
     _eq_tree(_map_tree(_unpk, PF.kfq2_mul(K, ka, kb)), _jnp_fq2_mul(a, b))
 
 
+def _fq12_adversarial(rng, n):
+    """Operands that maximize lazy-reduction column/value magnitudes:
+    all-(q-1) blocks, alternating (q-1, 1) signs, and random fill."""
+    hi = Q - 1
+    pats = [
+        ((( (hi, hi),) * 3), (((hi, hi),) * 3)),
+        ((( (hi, 1),) * 3), (((1, hi),) * 3)),
+        ((( (hi, 0),) * 3), (((0, hi),) * 3)),
+        ((( (1, hi),) * 3), (((hi, 1),) * 3)),
+    ]
+    out = list(pats)
+    while len(out) < n:
+        def f6():
+            return tuple((rng.choice([hi, 1, 0, rng.randrange(Q)]),
+                          rng.choice([hi, 1, 0, rng.randrange(Q)]))
+                         for _ in range(3))
+        out.append((f6(), f6()))
+    return out[:n]
+
+
 def test_tower_mul_lazy_reduction(monkeypatch):
     """Lazy-reduction kfq6_mul / kfq12_mul / mul_by_024 (column domain
-    through the whole op, one wide-normalize reduce per coefficient)
-    bit-exact vs the jnp tower on random + edge operands."""
+    through the op, one wide-normalize reduce per coefficient) bit-exact
+    vs the jnp tower on random + edge + ADVERSARIAL operands (all-(q-1)
+    blocks align the worst-case signs in the +-32q normalize window)."""
     monkeypatch.setattr(PF, "_LAZY_FQ2", True)
     rng = random.Random(SEED + 12)
     K = _emu_kctx()
 
-    f12a = T.fq12_encode(_fq12_vals(rng, B))
-    f12b = T.fq12_encode(_fq12_vals(rng, B))
+    f12a = T.fq12_encode(_fq12_adversarial(rng, B))
+    f12b = T.fq12_encode(_fq12_adversarial(random.Random(SEED + 13), B))
     ka = _map_tree(_pk, f12a)
     kb = _map_tree(_pk, f12b)
     _eq_tree(_map_tree(_unpk, PF.kfq12_mul(K, ka, kb)),
