@@ -12,15 +12,17 @@ single VMEM-resident kernels.  Two wins:
   few hundred kernel calls, which keeps the axon/TPU AOT compiler well
   under its memory ceiling (the unfused graph OOMs it).
 
-In-kernel representation: an Fq element is a [N_LIMBS, S, 128] uint32
-array (limb-major; S*128 batch lanes per grid step).  The Montgomery
-multiply accumulates schoolbook columns into a shared [2N, S, 128] VMEM
-scratch with static row slices (~300 traced ops; same math as
-limbs.mont_mul / reference arith.rs:525-545).  Carry chains use a
-two-round split + Kogge-Stone prefix for the final single-bit ripple.
+In-kernel representation: an Fq element is a LIST of N_LIMBS per-limb
+[S, 128] uint32 arrays (each limb one native vreg stack; S*128 batch
+lanes per grid step) with sequential carry chains — see the KCtx
+docstring.  The Montgomery multiply is CIOS on these limb lists (same
+math as limbs.mont_mul / reference arith.rs:525-545); with
+BN254_LAZY_FQ2=1 the tower multiplies keep whole multiply graphs in a
+signed-int32 column domain and reduce once per output coefficient.
 
 All kernels are bit-exact against the jnp limb path (same canonical
-outputs; asserted by the TPU-side tests and golden vectors).
+outputs; asserted by the TPU-side golden vectors and the interpret/
+emulated-body tests in tests/test_pallas_fused.py).
 """
 
 from __future__ import annotations
