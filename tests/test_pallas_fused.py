@@ -578,3 +578,31 @@ def test_tower_mul_lazy_reduction(monkeypatch):
         K, ka, _map_tree(_pk, x0), _map_tree(_pk, x2),
         _map_tree(_pk, x4))),
              T.fq12_mul_by_024(f12a, x0, x2, x4))
+
+
+def test_msm_fused_glue_vs_scan_g2(monkeypatch):
+    """G2 variant of the fused-MSM glue test (Fq2 coordinates exercise
+    the pytree paths in digits/affine-conversion/Horner/fold)."""
+    import random as _r
+
+    from bn254_tpu import msm as M
+    from bn254_tpu.spec.constants import R
+
+    monkeypatch.setattr(PF, "_TILE_S", 1)
+    monkeypatch.setattr(PF, "msm_accumulate", _msm_accumulate_jnp)
+    rng = _r.Random(0xA11CF)
+    n = 130                                  # pads to 256 (2 tiles)
+    ks = [rng.randrange(R) for _ in range(n - 2)] + [0, 1]
+    k = jnp.asarray(L.stack_ints(ks))
+    ops, gen = SG.G2_PARAMS[0], SG.G2_PARAMS[1]
+    spts = [SG.scalar_mul((gen[0], gen[1], ops.one), kv or 3, ops)
+            for kv in ks]
+    spts[-3] = SG.zero(ops)
+    pts = G.encode_points(G.G2, spts)
+    got = M._msm_fused(G.G2, pts, k, c=4)
+
+    want = SG.zero(ops)
+    for kv, sp in zip(ks, spts):
+        want = SG.add(want, SG.scalar_mul(sp, kv, ops), ops)
+    dec = G.decode_points(G.G2, jax.tree.map(np.asarray, got))[0]
+    assert SG.eq(dec, want, ops)
