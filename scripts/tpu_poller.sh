@@ -1,0 +1,16 @@
+#!/bin/bash
+# Detached tunnel poller: probes the axon backend every 3 min; when it
+# answers, runs the full revalidation sweep once and exits.  Log at
+# /tmp/tpu_poller.log, sweep output at /tmp/tpu_revalidate.log.
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+while true; do
+  if timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" >/dev/null 2>&1; then
+    echo "$(date -Is) tunnel UP — starting revalidation" >> /tmp/tpu_poller.log
+    bash scripts/tpu_revalidate.sh > /tmp/tpu_revalidate.log 2>&1
+    echo "$(date -Is) revalidation finished rc=$?" >> /tmp/tpu_poller.log
+    break
+  fi
+  echo "$(date -Is) tunnel down" >> /tmp/tpu_poller.log
+  sleep 180
+done

@@ -141,3 +141,51 @@ def test_g2_subgroup_check():
     xy = (G.G2.encode([p[0] for p in pts]), G.G2.encode([p[1] for p in pts]))
     ok = np.asarray(jax.jit(lambda xy: G.in_subgroup(G.G2, xy))(xy))
     assert ok[0] and ok[1] and not ok[2]
+
+
+@pytest.mark.parametrize("K", [G.G1, G.G2], ids=["g1", "g2"])
+def test_scramble_invert_10_rounds_device(K):
+    """Reference-scale scramble-and-invert (groups/tests.rs:42-83: 10
+    forward rounds of *a, neg, +b, *c, neg, -d, double, then the exact
+    inverse sequence) on the BATCHED device group law — 8 independent
+    lanes (incl. identity and generator starts) stand in for the
+    reference's 50 serial trials; every op is the memo-jitted branchless
+    device path, not the spec engine."""
+    import jax.numpy as jnp
+
+    ops = _spec_params(K)[0]
+    rng = random.Random(SEED + 7)
+    B = 8
+    begin_s = _rand_points(K, rng, B)   # lane 0 identity, lane 1 generator
+    b_s = _rand_points(K, rng, B)
+    d_s = _rand_points(K, rng, B)
+    a_i = [rng.randrange(1, R) for _ in range(B)]
+    c_i = [rng.randrange(1, R) for _ in range(B)]
+
+    begin = G.encode_points(K, begin_s)
+    b = G.encode_points(K, b_s)
+    d = G.encode_points(K, d_s)
+    a = jnp.asarray(L.stack_ints(a_i))
+    c = jnp.asarray(L.stack_ints(c_i))
+    ai = jnp.asarray(L.stack_ints([pow(x, R - 2, R) for x in a_i]))
+    ci = jnp.asarray(L.stack_ints([pow(x, R - 2, R) for x in c_i]))
+    ti = jnp.asarray(L.stack_ints([pow(2, R - 2, R)] * B))
+
+    acc = begin
+    for _ in range(10):
+        acc = G.scalar_mul(K, acc, a)
+        acc = G.neg(K, acc)
+        acc = G.add(K, acc, b)
+        acc = G.scalar_mul(K, acc, c)
+        acc = G.neg(K, acc)
+        acc = G.add(K, acc, G.neg(K, d))
+        acc = G.double(K, acc)
+    for _ in range(10):
+        acc = G.scalar_mul(K, acc, ti)
+        acc = G.add(K, acc, d)
+        acc = G.neg(K, acc)
+        acc = G.scalar_mul(K, acc, ci)
+        acc = G.add(K, acc, G.neg(K, b))
+        acc = G.neg(K, acc)
+        acc = G.scalar_mul(K, acc, ai)
+    assert bool(np.asarray(G.eq_points(K, acc, begin)).all())
