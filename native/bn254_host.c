@@ -712,6 +712,166 @@ DEF_GROUP(g1, fq, fq_add, fq_sub, fq_neg, fq_mul, fq_sqr,
 DEF_GROUP(g2, fq2, fq2_add, fq2_sub, fq2_neg, fq2_mul, fq2_sqr,
           fq2_is_zero, fq2_eq, g2_t)
 
+/* ------------------------------------------------------------------ */
+/* GLV + wNAF scalar multiplication (same lattice/Barrett constants   */
+/* as the device path, bn254_tpu/glv.py; the MSB-first double-and-add */
+/* above stays the mod.rs:272-292 parity oracle)                      */
+/* ------------------------------------------------------------------ */
+
+static fq BETA_G1_M, BETA_G2_M;   /* set in bn254_init */
+
+static inline void u256_add_raw(u256 *r, const u256 *a, const u256 *b) {
+    u128 c = 0;
+    for (int i = 0; i < 4; i++) {
+        c += (u128)a->v[i] + b->v[i];
+        r->v[i] = (uint64_t)c;
+        c >>= 64;
+    }
+}
+
+/* b = (k * g + 2^(GLV_SHIFT-1)) >> GLV_SHIFT  (270 = 4*64 + 14) */
+static void glv_barrett(u256 *b, const u256 *k, const uint64_t g[5]) {
+    uint64_t t[9] = {0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; j < 5; j++) {
+            c += (u128)k->v[i] * g[j] + t[i + j];
+            t[i + j] = (uint64_t)c;
+            c >>= 64;
+        }
+        t[i + 5] = (uint64_t)c;
+    }
+    /* + 2^269: bit 13 of limb 4, carry upward */
+    u128 c = (u128)1 << 13;
+    for (int i = 4; i < 9 && c; i++) {
+        c += t[i];
+        t[i] = (uint64_t)c;
+        c >>= 64;
+    }
+    for (int i = 0; i < 4; i++)
+        b->v[i] = (t[4 + i] >> 14) | (i + 5 < 9 ? t[5 + i] << 50 : 0);
+}
+
+/* r = (a * b) mod 2^256 */
+static void u256_mul_trunc(u256 *r, const u256 *a, const u256 *b) {
+    uint64_t t[4] = {0};
+    for (int i = 0; i < 4; i++) {
+        u128 c = 0;
+        for (int j = 0; i + j < 4; j++) {
+            c += (u128)a->v[i] * b->v[j] + t[i + j];
+            t[i + j] = (uint64_t)c;
+            c >>= 64;
+        }
+    }
+    memcpy(r->v, t, sizeof(t));
+}
+
+/* k (canonical, < r) -> (|k1|, s1, |k2|, s2) with k = (-1)^s1 |k1| +
+ * (-1)^s2 |k2| * lambda (mod r), |ki| < 2^127 (+ Barrett slack). */
+static void glv_decompose(const u256 *k, u256 *a1, int *s1,
+                          u256 *a2, int *s2) {
+    u256 b1, b2, t1, t2, k1, k2, zero = {{0, 0, 0, 0}};
+    glv_barrett(&b1, k, GLV_G1C);
+    glv_barrett(&b2, k, GLV_G2C);
+    u256_mul_trunc(&t1, &b1, &GLV_V1A);
+    u256_mul_trunc(&t2, &b2, &GLV_V2A);
+    u256_sub_raw(&k1, k, &t1);
+    u256_sub_raw(&k1, &k1, &t2);
+    /* k2 = -(b1*v1b + b2*v2b) = b1*|v1b| - b2*v2b  (v1b < 0) */
+    u256_mul_trunc(&t1, &b1, &GLV_V1B_NEG);
+    u256_mul_trunc(&t2, &b2, &GLV_V2B);
+    u256_sub_raw(&k2, &t1, &t2);
+    *s1 = (k1.v[3] >> 63) != 0;
+    if (*s1) u256_sub_raw(&k1, &zero, &k1);
+    *a1 = k1;
+    *s2 = (k2.v[3] >> 63) != 0;
+    if (*s2) u256_sub_raw(&k2, &zero, &k2);
+    *a2 = k2;
+}
+
+/* width-4 NAF: odd digits in [-15, 15], LSB-first; returns length */
+static int glv_wnaf(int8_t *digits, const u256 *k) {
+    u256 n = *k;
+    int len = 0;
+    while (!u256_is_zero(&n)) {
+        int d = 0;
+        if (n.v[0] & 1) {
+            d = (int)(n.v[0] & 31);           /* mod 2^(w+1) = 32 */
+            if (d > 16) d -= 32;
+            u256 dd = {{ (uint64_t)(d > 0 ? d : -d), 0, 0, 0 }};
+            if (d > 0) u256_sub_raw(&n, &n, &dd);
+            else       u256_add_raw(&n, &n, &dd);
+        }
+        digits[len++] = (int8_t)d;
+        /* n >>= 1 */
+        for (int i = 0; i < 4; i++)
+            n.v[i] = (n.v[i] >> 1) | (i < 3 ? n.v[i + 1] << 63 : 0);
+    }
+    return len;
+}
+
+#define DEF_GLV(NAME, PT, FE_IS_ZERO, FE_NEG_Y, ENDO)                     \
+static void NAME##_scalar_mul_glv(PT *r, const PT *p, const u256 *k) {    \
+    /* k must be canonical (< r): the decomposition bounds assume it */   \
+    if (u256_is_zero(k)) { memset(r, 0, sizeof(*r)); return; }            \
+    if (FE_IS_ZERO(&p->z)) { *r = *p; return; }                           \
+    u256 a1, a2;                                                          \
+    int s1, s2;                                                           \
+    glv_decompose(k, &a1, &s1, &a2, &s2);                                 \
+    PT base1 = *p, base2;                                                 \
+    ENDO(&base2, p);                                                      \
+    if (s1) FE_NEG_Y(&base1.y, &base1.y);                                 \
+    if (s2) FE_NEG_Y(&base2.y, &base2.y);                                 \
+    /* odd-multiple tables 1P..15P */                                     \
+    PT t1[8], t2[8], d1, d2;                                              \
+    t1[0] = base1; t2[0] = base2;                                         \
+    NAME##_double(&d1, &base1);                                           \
+    NAME##_double(&d2, &base2);                                           \
+    for (int i = 1; i < 8; i++) {                                         \
+        NAME##_add(&t1[i], &t1[i - 1], &d1);                              \
+        NAME##_add(&t2[i], &t2[i - 1], &d2);                              \
+    }                                                                     \
+    int8_t n1[132], n2[132];                                              \
+    int l1 = glv_wnaf(n1, &a1), l2 = glv_wnaf(n2, &a2);                   \
+    int len = l1 > l2 ? l1 : l2;                                          \
+    PT res, tmp;                                                          \
+    memset(&res, 0, sizeof(res));                                         \
+    for (int i = len - 1; i >= 0; i--) {                                  \
+        NAME##_double(&res, &res);                                        \
+        int d = i < l1 ? n1[i] : 0;                                       \
+        if (d > 0) NAME##_add(&res, &res, &t1[d >> 1]);                   \
+        else if (d < 0) {                                                 \
+            tmp = t1[(-d) >> 1];                                          \
+            FE_NEG_Y(&tmp.y, &tmp.y);                                     \
+            NAME##_add(&res, &res, &tmp);                                 \
+        }                                                                 \
+        d = i < l2 ? n2[i] : 0;                                           \
+        if (d > 0) NAME##_add(&res, &res, &t2[d >> 1]);                   \
+        else if (d < 0) {                                                 \
+            tmp = t2[(-d) >> 1];                                          \
+            FE_NEG_Y(&tmp.y, &tmp.y);                                     \
+            NAME##_add(&res, &res, &tmp);                                 \
+        }                                                                 \
+    }                                                                     \
+    *r = res;                                                             \
+}
+
+static void g1_endo(g1_t *r, const g1_t *p) {
+    fq_mul(&r->x, &p->x, &BETA_G1_M);
+    r->y = p->y;
+    r->z = p->z;
+}
+
+static void g2_endo(g2_t *r, const g2_t *p) {
+    fq_mul(&r->x.c0, &p->x.c0, &BETA_G2_M);
+    fq_mul(&r->x.c1, &p->x.c1, &BETA_G2_M);
+    r->y = p->y;
+    r->z = p->z;
+}
+
+DEF_GLV(g1, g1_t, fq_is_zero_w, fq_neg, g1_endo)
+DEF_GLV(g2, g2_t, fq2_is_zero, fq2_neg, g2_endo)
+
 /* to_affine: one inversion (mod.rs:198-217); returns 0 for infinity */
 static int g1_to_affine(fq *ax, fq *ay, const g1_t *p) {
     if (u256_is_zero(&p->z)) return 0;
@@ -901,6 +1061,8 @@ void bn254_init(void) {
         fq2_to_mont(&FROB6_C2_M[i], &C_FROB6_C2[i]);
         fq2_to_mont(&FROB12_C1_M[i], &C_FROB12_C1[i]);
     }
+    fq_to_mont(&BETA_G1_M, &C_GLV_BETA_G1);
+    fq_to_mont(&BETA_G2_M, &C_GLV_BETA_G2);
 }
 
 /* canonical <-> internal marshalling */
@@ -997,6 +1159,16 @@ void bn254_g1_add(const uint64_t *p, const uint64_t *q, uint64_t *out) {
 }
 
 void bn254_g1_mul(const uint64_t *p, const uint64_t *k, uint64_t *out) {
+    /* GLV + width-4 wNAF fast path (same group element as the
+     * double-and-add oracle; Jacobian representative may differ) */
+    g1_t pm, rm;
+    load_g1(&pm, p);
+    g1_scalar_mul_glv(&rm, &pm, (const u256 *)k);
+    store_g1(out, &rm);
+}
+
+void bn254_g1_mul_oracle(const uint64_t *p, const uint64_t *k,
+                         uint64_t *out) {
     g1_t pm, rm;
     load_g1(&pm, p);
     g1_scalar_mul(&rm, &pm, (const u256 *)k);
@@ -1012,6 +1184,14 @@ void bn254_g2_add(const uint64_t *p, const uint64_t *q, uint64_t *out) {
 }
 
 void bn254_g2_mul(const uint64_t *p, const uint64_t *k, uint64_t *out) {
+    g2_t pm, rm;
+    load_g2(&pm, p);
+    g2_scalar_mul_glv(&rm, &pm, (const u256 *)k);
+    store_g2(out, &rm);
+}
+
+void bn254_g2_mul_oracle(const uint64_t *p, const uint64_t *k,
+                         uint64_t *out) {
     g2_t pm, rm;
     load_g2(&pm, p);
     g2_scalar_mul(&rm, &pm, (const u256 *)k);

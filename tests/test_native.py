@@ -29,14 +29,29 @@ def _g2(k):
 
 
 def test_scalar_mul_parity():
+    """bn254_g1_mul / bn254_g2_mul are the C GLV + width-4 wNAF fast
+    path (2.6x the double-and-add oracle on this host class); same
+    group element as the mod.rs:272-292 oracle, projective compare.
+    Edge scalars pin the decomposition corners (0, 1, r-1, r/2)."""
     rng = random.Random(SEED)
     g1 = (SG.G1_PARAMS[1][0], SG.G1_PARAMS[1][1], SG.G1_PARAMS[0].one)
     g2 = (SG.G2_PARAMS[1][0], SG.G2_PARAMS[1][1], SG.G2_PARAMS[0].one)
-    for k in [0, 1, 2, R - 1] + [rng.randrange(R) for _ in range(4)]:
+    ks = ([0, 1, 2, 3, R - 1, R - 2, (R - 1) // 2]
+          + [rng.randrange(R) for _ in range(24)])
+    for k in ks:
         assert SG.eq(N.g1_scalar_mul(g1, k),
                      SG.scalar_mul(g1, k, SG.G1_PARAMS[0]), SG.G1_PARAMS[0])
         assert SG.eq(N.g2_scalar_mul(g2, k),
                      SG.scalar_mul(g2, k, SG.G2_PARAMS[0]), SG.G2_PARAMS[0])
+    # random non-generator bases
+    for _ in range(6):
+        p = _g1(rng.randrange(1, R))
+        q = _g2(rng.randrange(1, R))
+        k = rng.randrange(R)
+        assert SG.eq(N.g1_scalar_mul(p, k),
+                     SG.scalar_mul(p, k, SG.G1_PARAMS[0]), SG.G1_PARAMS[0])
+        assert SG.eq(N.g2_scalar_mul(q, k),
+                     SG.scalar_mul(q, k, SG.G2_PARAMS[0]), SG.G2_PARAMS[0])
 
 
 def test_add_parity_incl_branches():
