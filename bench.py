@@ -63,8 +63,11 @@ def main():
     _enable_compile_cache()
     from bn254_tpu import pairing_jax as PJ
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "16"))
+    # batch 4096 > 1024: the Miller/final-exp kernels pipeline across
+    # grid steps and amortize the tunnel RTT (measured sweep in
+    # scripts/bench_pairing.py: 28.6k/s @1024 -> 67k/s @4096, round 3)
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     # encode_points returns host numpy; put on device ONCE so the timed
     # loop measures compute, not repeated host->device tunnel transfers

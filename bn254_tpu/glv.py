@@ -256,11 +256,26 @@ def _select_point(K, mask, a, b):
     return tuple(K.select(mask, x, y) for x, y in zip(a, b))
 
 
+def _ladder_digits(a1, a2):
+    """Joint digit planes for the fused ladder kernel: [NUM_BITS, B]
+    int32 in {0,1,2,3} = bit_i(a1) + 2*bit_i(a2), MSB-first."""
+    rows = []
+    for i in range(NUM_BITS - 1, -1, -1):
+        limb, sh = divmod(i, L.LIMB_BITS)
+        b1 = (a1[limb] >> sh) & 1
+        b2 = (a2[limb] >> sh) & 1
+        rows.append((b1 + 2 * b2).astype(jnp.int32))
+    return jnp.stack(rows, axis=0)
+
+
 def scalar_mul_glv(K, p, k_limbs):
     """k * p via GLV decomposition + 128-step Strauss-Shamir joint ladder.
 
     Same group element as groups.scalar_mul (the mod.rs:272-292 oracle);
     Jacobian coordinates may differ — compare with eq_points/to_affine.
+    On the fused-kernel path the whole ladder runs inside ONE pallas
+    kernel (pallas_fused.glv_ladder), bit-identical to the scan spelling
+    below (same k_point_double/add formulas, representative included).
     """
     batch = K.batch_of(p[0])
     a1, s1, a2, s2 = decompose(k_limbs)
@@ -270,6 +285,19 @@ def scalar_mul_glv(K, p, k_limbs):
     p2 = _select_point(K, s2, G.neg(K, php), php)
     p12 = G.add(K, p1, p2)
     inf = G.zero_point(K, batch)
+
+    from .fields import _use_pallas
+    if _use_pallas(batch):
+        from . import pallas_fused as PF
+
+        ncoords = 1 if K is G.G1 else 2
+        digits = _ladder_digits(a1, a2)
+        pts = jnp.concatenate(
+            [PF.pack(p1), PF.pack(p2), PF.pack(p12)], axis=0)
+        out = PF.glv_ladder(ncoords, pts, digits)
+        if ncoords == 1:
+            return (out[0], out[1], out[2])
+        return ((out[0], out[1]), (out[2], out[3]), (out[4], out[5]))
 
     bit_idx = jnp.arange(NUM_BITS - 1, -1, -1, dtype=jnp.int32)
 

@@ -84,13 +84,34 @@ def _digits_any_c(scalars, c: int, nwindows: int):
     return jnp.stack(rows, axis=0)
 
 
-def _msm_fused(K, points, scalars, c: int):
+def _signed_digits(dgs, c: int):
+    """Unsigned base-2^c digit rows [W, B] -> signed digits in
+    [-(2^(c-1)-1), 2^(c-1)] via carry propagation (classic signed-digit
+    Pippenger: halves the bucket count AND the kernel's one-hot select
+    sweep; the kernel negates y for negative digits).  The caller must
+    size W to cover num_bits + 1 bits so the top window absorbs the
+    final carry."""
+    half = 1 << (c - 1)
+    rows = []
+    carry = jnp.zeros(dgs.shape[1], jnp.int32)
+    for w in range(dgs.shape[0]):
+        d = dgs[w] + carry
+        over = d > half
+        rows.append(jnp.where(over, d - (1 << c), d))
+        carry = over.astype(jnp.int32)
+    return jnp.stack(rows)
+
+
+def _msm_fused(K, points, scalars, c: int, num_bits: int = 254):
     """TPU path: one Pallas mega-kernel per MSM (VMEM-resident buckets,
-    one-hot select accumulation — see pallas_fused.msm_accumulate).
+    one-hot select accumulation over SIGNED digits — see
+    pallas_fused.msm_accumulate).
 
     Window totals come back per lane (each lane an independent Pippenger
     tile); Horner combines windows at full lane width, then a log2 roll
     fold collapses lanes so every op stays on the fused kernels.
+    num_bits: static bound on the scalar bit-length (254 for full Fr;
+    GLV-decomposed scalars pass 128).
     """
     from . import pallas_fused as PF
 
@@ -103,8 +124,8 @@ def _msm_fused(K, points, scalars, c: int):
         points = jax.tree.map(
             lambda a, z: jnp.concatenate([a, z], axis=-1), points, zp)
         scalars = jnp.pad(scalars, ((0, 0), (0, pad)))
-    W = (254 + c - 1) // c
-    dgs = _digits_any_c(scalars, c, W)
+    W = (num_bits + 1 + c - 1) // c         # +1 bit: signed-carry headroom
+    dgs = _signed_digits(_digits_any_c(scalars, c, W), c)
     # infinity inputs contribute nothing: send them to the discard bucket
     inf = G.is_zero_point(K, points)
     dgs = jnp.where(inf[None, :], 0, dgs)
@@ -135,7 +156,8 @@ def _msm_fused(K, points, scalars, c: int):
     ay = K.mul(points[1], K.mul(zi2, zinv))
 
     packed = PF.pack((ax, ay))                    # [2*ncoords, N, n+pad]
-    totals = PF.msm_accumulate(ncoords, packed, dgs, 1 << c)
+    totals = PF.msm_accumulate(ncoords, packed, dgs, (1 << (c - 1)) + 1,
+                               signed=True)
     # [W, 3*ncoords, N, lanes] -> per-window point pytrees
     def win(wi):
         t = totals[wi]
@@ -172,7 +194,8 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
     from .fields import _use_pallas
     if tiles is None and _use_pallas(max(n, 256)) and n >= 1024:
         ncoords = 1 if K is G.G1 else 2
-        return _msm_fused(K, points, scalars, MSM_FUSED_WINDOW[ncoords])
+        return _msm_fused(K, points, scalars, MSM_FUSED_WINDOW[ncoords],
+                          num_bits=min(num_bits, 254))
     if tiles is None:
         from .fields import _use_pallas
         if _use_pallas(n) and n % 128 == 0 and n >= 512:
@@ -197,7 +220,8 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
         points)
 
     # digits [W, n] -> [W, m, T] -> [m, W*T] (w-major within a step)
-    dgs = _all_digits(scalars, c, W)
+    dgs = (_all_digits if L.LIMB_BITS % c == 0
+           else _digits_any_c)(scalars, c, W)
     dgs = jnp.moveaxis(dgs.reshape(W, m, tiles), 1, 0).reshape(m, WT)
 
     lane = jnp.arange(WT, dtype=jnp.int32) * nbuckets  # flat bucket bases

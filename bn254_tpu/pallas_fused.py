@@ -398,12 +398,13 @@ def kfq2_scale(K, a, k):
 
 
 # Lazy fq2 reduction: bit-exact vs the eager spelling in interpret mode
-# (tests/test_pallas_fused.py) but not yet Mosaic-validated on hardware
-# (the tunnel was down when it landed) — default OFF until
-# scripts/tpu_check.py passes with BN254_LAZY_FQ2=1.
+# (tests/test_pallas_fused.py) AND Mosaic-validated on hardware —
+# scripts/tpu_check.py passed with BN254_LAZY_FQ2=1 on the v5e
+# (round 3, 2026-08-19) — so it is the DEFAULT.  Set BN254_LAZY_FQ2=0
+# to fall back to the eager spelling.
 import os as _os
 
-_LAZY_FQ2 = _os.environ.get("BN254_LAZY_FQ2", "0") not in ("0", "")
+_LAZY_FQ2 = _os.environ.get("BN254_LAZY_FQ2", "1") not in ("0", "")
 
 
 def kfq2_mul(K, a, b):
@@ -1535,15 +1536,79 @@ def _sel_pt(K, A, mask, a, b):
     return tuple(A.select(K, mask, x, y) for x, y in zip(a, b))
 
 
-def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
+def k_point_madd_generic(K, A, p, q):
+    """The generic + infinity branches of k_point_madd WITHOUT the
+    affine-doubling branch: returns (out, coincide) where lanes with
+    coincide=True hold an incorrect value (z3 == 0) and must be patched
+    by the caller (msm kernel: a pl.when-gated affine double — the
+    coincide case needs duplicate points in one bucket, rare in real
+    workloads, so its 1M+5S cost should not be paid unconditionally)."""
+    qx, qy = q
+    p_inf = A.is_zero(K, p[2])
+
+    z1s = A.sqr(K, p[2])
+    u2 = A.mul(K, qx, z1s)
+    s2 = A.mul(K, qy, A.mul(K, p[2], z1s))
+
+    coincide = A.eq(K, p[0], u2) & A.eq(K, p[1], s2) & ~p_inf
+
+    h = A.sub(K, u2, p[0])
+    d = A.sub(K, s2, p[1])
+    rr = A.add(K, d, d)
+    i = A.sqr(K, A.add(K, h, h))
+    j = A.mul(K, h, i)
+    v = A.mul(K, p[0], i)
+    s1j = A.mul(K, p[1], j)
+    x3 = A.sub(K, A.sub(K, A.sqr(K, rr), j), A.add(K, v, v))
+    y3 = A.sub(K, A.mul(K, rr, A.sub(K, v, x3)), A.add(K, s1j, s1j))
+    zh = A.mul(K, p[2], h)
+    generic = (x3, y3, A.add(K, zh, zh))
+
+    one = K.const_fq(K.mont_one, jax.tree.leaves(qx)[0])
+    zero = K.zero_fq(jax.tree.leaves(qx)[0])
+    q_jac = (qx, qy, one if A.COORDS == 1 else (one, zero))
+
+    out = tuple(A.select(K, p_inf, x, y) for x, y in zip(q_jac, generic))
+    return out, coincide & ~p_inf
+
+
+def k_affine_double(K, A, q):
+    """Jacobian double of an affine point (z = 1) — the madd coincide
+    branch (any representative of 2q works projectively)."""
+    qx, qy = q
+    a = A.sqr(K, qx)
+    b = A.sqr(K, qy)
+    c = A.sqr(K, b)
+    d2 = A.sub(K, A.sub(K, A.sqr(K, A.add(K, qx, b)), a), c)
+    d2 = A.add(K, d2, d2)
+    e = A.add(K, A.add(K, a, a), a)
+    f = A.sqr(K, e)
+    xd = A.sub(K, f, A.add(K, d2, d2))
+    c8 = A.add(K, c, c)
+    c8 = A.add(K, c8, c8)
+    c8 = A.add(K, c8, c8)
+    return (xd, A.sub(K, A.mul(K, e, A.sub(K, d2, xd)), c8),
+            A.add(K, qy, qy))
+
+
+def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int,
+                   signed: bool = False):
     """Bucket-accumulate + reduce all windows of a Pippenger MSM.
 
     points_packed: [2*ncoords, N, n] uint32 (AFFINE x,y, batch last —
     batch-inverted upstream; the accumulation add is the mixed
     madd-2007-bl, ~1.4x fewer muls than the full Jacobian add);
-    digits: [W, n] int32 in [0, nb); nb = 2^c buckets (bucket 0 is the
-    discard bucket — masked-out/infinity/padding points must carry
-    digit 0, so the kernel only ever adds finite affine points).
+    digits: [W, n] int32; nb = bucket count incl. the discard bucket 0
+    (masked-out/infinity/padding points must carry digit 0, so the
+    kernel only ever adds finite affine points).
+
+    signed=False: digits in [0, nb) — classic 2^c buckets.
+    signed=True: digits in (-nb, nb) — signed-digit Pippenger; the
+    bucket index is |d| and the point's y is negated on d < 0 inside
+    the kernel.  Halves the bucket rows AND the one-hot select sweep
+    for the same window width (nb = 2^(c-1) + 1 buckets for c-bit
+    windows with digits in [-2^(c-1), 2^(c-1)]).
+
     Returns [W, 3*ncoords, N, lanes] window totals (lanes = tile lanes;
     each lane an independent partial; fold lanes then Horner windows).
     """
@@ -1555,7 +1620,7 @@ def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
     lanes = sub * 128
     assert n % lanes == 0, "pad the point batch to a multiple of sub*128"
     m = n // lanes
-    call = _msm_acc_impl(m, W, nb, ncoords, sub, _INTERPRET)
+    call = _msm_acc_impl(m, W, nb, ncoords, sub, signed, _INTERPRET)
     p4 = points_packed.reshape(C2, N, m * sub, 128)
     d3 = digits.reshape(W, m * sub, 128)
     out = call(d3, p4)                      # [W*C3, N, sub, 128]
@@ -1564,13 +1629,13 @@ def msm_accumulate(K_group_coords: int, points_packed, digits, nb: int):
 
 @functools.lru_cache(maxsize=None)
 def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
-                  interpret: bool):
+                  signed: bool, interpret: bool):
     mod = _fq_mod()
     A = FqA if ncoords == 1 else Fq2A
     C3 = 3 * ncoords
     rows = (nb - 1) * C3                    # bucket 0 is never stored
 
-    def kernel(d_ref, p_ref, out_ref, bk_ref):
+    def kernel(d_ref, p_ref, out_ref, bk_ref, new_ref):
         K = KCtx(mod)
         i = pl.program_id(1)
 
@@ -1581,6 +1646,10 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
         d = d_ref[0]                        # [sub, 128] int32
         qx = A.read(p_ref, 0)
         qy = A.read(p_ref, A.COORDS)
+        if signed:
+            neg = d < 0
+            d = jnp.where(neg, -d, d)
+            qy = A.select(K, neg, A.neg(K, qy), qy)
         zfq = K.zero_fq(p_ref[0, 0])
         zc = zfq if ncoords == 1 else (zfq, zfq)
         zero_pt = (zc, zc, zc)
@@ -1592,7 +1661,19 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
             bb = _read_pt(bk_ref, A, (b - 1) * C3)
             cur = _sel_pt(K, A, mask, bb, cur)
 
-        new = k_point_madd(K, A, cur, (qx, qy))
+        new, coincide = k_point_madd_generic(K, A, cur, (qx, qy))
+        _write_pt(new_ref, A, 0, new)
+
+        # rare-path patch: duplicate point meets its own bucket value.
+        # Gated on ANY lane coinciding so the 1M+5S affine double is
+        # normally skipped (bit-exact: same dbl as k_point_madd).
+        @pl.when(jnp.any(coincide))
+        def _patch():
+            dbl = k_affine_double(K, A, (qx, qy))
+            cur2 = _read_pt(new_ref, A, 0)
+            _write_pt(new_ref, A, 0, _sel_pt(K, A, coincide, dbl, cur2))
+
+        new = _read_pt(new_ref, A, 0)
 
         # one-hot scatter-back (digit-0 lanes write nothing)
         for b in range(1, nb):
@@ -1631,12 +1712,99 @@ def _msm_acc_impl(m: int, W: int, nb: int, ncoords: int, sub: int,
         grid=(W, m),
         in_specs=[d_spec, p_spec],
         out_specs=o_spec,
-        scratch_shapes=[pltpu.VMEM((rows, N, sub, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((rows, N, sub, 128), jnp.uint32),
+                        pltpu.VMEM((C3, N, sub, 128), jnp.uint32)],
         interpret=interpret,
     )
 
     def run(d3, p4):
         return call(d3, p4)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Whole-ladder GLV scalar multiplication kernel
+# ---------------------------------------------------------------------------
+#
+# The scan-of-kernels GLV ladder (glv.scalar_mul_glv) pays one kernel
+# launch + one HBM round-trip of the whole point batch per step — 128
+# steps x ~4 point-sized arrays.  This kernel runs the ENTIRE joint
+# Strauss-Shamir ladder inside one pallas_call: res, the 3 table points
+# and the per-lane digit planes stay VMEM-resident for all 128 steps.
+# Same formulas as groups.double/add (k_point_double / k_point_add), so
+# the result is bit-identical to the scan spelling, Jacobian
+# representative included.
+
+
+def glv_ladder(group_coords: int, pts_packed, digits):
+    """Joint GLV ladder over precomputed table points, one fused kernel.
+
+    pts_packed: [9*ncoords, N, B] uint32 — p1 | p2 | p12 Jacobian point
+    batches (signs already applied); digits: [nsteps, B] int32 in
+    {0,1,2,3} = bit(k1) + 2*bit(k2), MSB-first.  Returns the
+    [3*ncoords, N, B] Jacobian result (res starts at infinity).
+    """
+    ncoords = group_coords
+    batch = pts_packed.shape[-1]
+    nsteps = digits.shape[0]
+    call = _glv_call_impl(batch, nsteps, ncoords, _TILE_S, _INTERPRET)
+    return call(pts_packed, digits)
+
+
+@functools.lru_cache(maxsize=None)
+def _glv_call_impl(batch: int, nsteps: int, ncoords: int, tile_s: int,
+                   interpret: bool):
+    mod = _fq_mod()
+    A = FqA if ncoords == 1 else Fq2A
+    C3 = 3 * ncoords
+    C9 = 9 * ncoords
+
+    def kernel(d_ref, pts_ref, out_ref):
+        K = KCtx(mod)
+        p1 = _read_pt(pts_ref, A, 0)
+        p2 = _read_pt(pts_ref, A, C3)
+        p12 = _read_pt(pts_ref, A, 2 * C3)
+        zfq = K.zero_fq(pts_ref[0, 0])
+        zc = zfq if ncoords == 1 else (zfq, zfq)
+        inf = (zc, zc, zc)
+        _write_pt(out_ref, A, 0, inf)
+
+        def body(i, carry):
+            res = k_point_double(K, A, _read_pt(out_ref, A, 0))
+            d = d_ref[i]                     # [sub, 128] int32
+            b1 = (d & 1) > 0
+            hi = _sel_pt(K, A, b1, p12, p2)  # b2 == 1
+            lo = _sel_pt(K, A, b1, p1, inf)  # b2 == 0
+            t = _sel_pt(K, A, d >= 2, hi, lo)
+            _write_pt(out_ref, A, 0, k_point_add(K, A, res, t))
+            return carry
+
+        jax.lax.fori_loop(0, nsteps, body, 0)
+
+    sub = tile_s
+    while batch % (sub * 128) and sub > 1:
+        sub //= 2
+    grid = batch // (sub * 128)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    d_spec = pl.BlockSpec((nsteps, sub, 128), lambda i: (0, i, 0),
+                          memory_space=ms)
+    pts_spec = pl.BlockSpec((C9, N, sub, 128), lambda i: (0, 0, i, 0),
+                            memory_space=ms)
+    out_spec = pl.BlockSpec((C3, N, sub, 128), lambda i: (0, 0, i, 0),
+                            memory_space=ms)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(_shape3(C3, batch), jnp.uint32),
+        grid=(grid,),
+        in_specs=[d_spec, pts_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+    )
+
+    def run(pts_packed, digits):
+        d3 = digits.reshape(nsteps, batch // 128, 128)
+        return _from3(call(d3, _to3(pts_packed, C9, batch)), C3, batch)
 
     return run
 

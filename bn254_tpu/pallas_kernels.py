@@ -314,17 +314,27 @@ def _sqr_call(modulus: int, batch: int, interpret: bool):
     return run
 
 
-def mont_mul(a, b, mod: L.Mod, interpret: bool = False):
+def _default_interpret(interpret):
+    """None -> follow pallas_fused's global interpret switch, so a forced
+    Pallas run on CPU (set_pallas(True) + set_interpret(True)) routes the
+    single-op kernels through the interpreter too."""
+    if interpret is None:
+        from . import pallas_fused as PF
+        return PF._INTERPRET
+    return interpret
+
+
+def mont_mul(a, b, mod: L.Mod, interpret=None):
     """Pallas Montgomery multiply; batch must be a multiple of 128."""
     batch = a.shape[1]
     assert batch % 128 == 0, "pallas path needs batch % 128 == 0"
-    return _mul_call(mod.modulus, batch, interpret)(a, b)
+    return _mul_call(mod.modulus, batch, _default_interpret(interpret))(a, b)
 
 
-def mont_sqr(a, mod: L.Mod, interpret: bool = False):
+def mont_sqr(a, mod: L.Mod, interpret=None):
     batch = a.shape[1]
     assert batch % 128 == 0, "pallas path needs batch % 128 == 0"
-    return _sqr_call(mod.modulus, batch, interpret)(a)
+    return _sqr_call(mod.modulus, batch, _default_interpret(interpret))(a)
 
 
 def available() -> bool:

@@ -97,7 +97,8 @@ def pairing_batch_sharded(mesh: Mesh, g1_points, g2_points, axis="data"):
 
 
 def msm_sharded(mesh: Mesh, K, points, scalars, axis="data",
-                c: int = M.WINDOW_BITS, tiles: int | None = None):
+                c: int = M.WINDOW_BITS, tiles: int | None = None,
+                num_bits: int = 256):
     """Sharded Pippenger MSM: point/scalar axis over `mesh`; one constant-
     size all_gather of per-device partial sums; replicated tree fold."""
     ndev = mesh.shape[axis]
@@ -106,7 +107,7 @@ def msm_sharded(mesh: Mesh, K, points, scalars, axis="data",
     out_spec = jax.tree.map(lambda _: P(None, None), points)
 
     def local(p, s):
-        part = M.msm(K, p, s, c=c, tiles=tiles)          # [.., 1]
+        part = M.msm(K, p, s, c=c, tiles=tiles, num_bits=num_bits)
         gathered = jax.lax.all_gather(part, axis)        # [ndev, .., 1]
         return _fold_gathered(lambda a, b: G.add(K, a, b), gathered, ndev)
 

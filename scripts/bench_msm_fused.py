@@ -24,9 +24,18 @@ from bn254_tpu.spec.constants import R
 
 
 def main():
+    import os
+
     sizes = [int(a) for a in sys.argv[1:]] or [16]
     print("devices:", jax.devices())
     rng = random.Random(5)
+
+    # window override for the c sweep (BN254_MSM_C=5 etc.); default is
+    # msm.MSM_FUSED_WINDOW
+    c_env = os.environ.get("BN254_MSM_C")
+    if c_env:
+        M.MSM_FUSED_WINDOW = {1: int(c_env), 2: int(c_env)}
+        print(f"window override: c={c_env}")
 
     # correctness first, at n=1024 vs the spec oracle
     n0 = 1024

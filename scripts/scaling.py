@@ -37,9 +37,20 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="force a virtual CPU mesh of this many devices "
                          "(0 = use the real platform's devices)")
+    ap.add_argument("--msm-tiles", type=int, default=8,
+                    help="parallel tile width of the per-device scan MSM "
+                         "(128 keeps the 2^20 CPU-mesh run tractable)")
+    ap.add_argument("--msm-window", type=int, default=0,
+                    help="Pippenger window bits (0 = library default)")
+    ap.add_argument("--no-tape", action="store_true",
+                    help="disable the CPU tape engine so the per-shard "
+                         "program is the production jnp/scan structure")
     ap.add_argument("--out", default=os.path.join(REPO, "benches",
                                                   "scaling.json"))
     args = ap.parse_args()
+
+    if args.no_tape:
+        os.environ["BN254_TAPE"] = "0"
 
     if args.devices:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
@@ -105,11 +116,14 @@ def main():
             with open(args.out, "w") as fh:
                 json.dump(results, fh, indent=1)
 
+    mkw = dict(tiles=args.msm_tiles)
+    if args.msm_window:
+        mkw["c"] = args.msm_window
     bench("pairing",
           lambda mesh: lambda: PAR.pairing_batch_sharded(mesh, g1, g2))
     bench("msm",
           lambda mesh: lambda: PAR.msm_sharded(mesh, G.G1, pts, scl,
-                                               tiles=8))
+                                               **mkw))
 
     print("wrote", args.out)
 

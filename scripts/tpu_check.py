@@ -23,6 +23,7 @@ sys.path.insert(0, "tests")
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/bn254_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
@@ -121,6 +122,30 @@ def main():
     for i in (1, 7, 100, 127):
         assert decp[i] == SG.pairing(ps[i], qs[i]), f"lane {i} vs spec"
     print(f"4. random lanes vs spec OK ({time.time()-t0:.1f}s)")
+
+    # -- 5. fused GLV ladder kernel vs the double-and-add oracle ------
+    from bn254_tpu import glv
+    from bn254_tpu import limbs as L
+
+    for name, K, PARAMS in (("G1", G.G1, SG.G1_PARAMS),
+                            ("G2", G.G2, SG.G2_PARAMS)):
+        t0 = time.time()
+        ops, gen = PARAMS[0], PARAMS[1]
+        gpt = (gen[0], gen[1], ops.one)
+        rng = random.Random(0x61F0 + (0 if name == "G1" else 1))
+        pts = [SG.scalar_mul(gpt, rng.randrange(1, R), ops)
+               for _ in range(B)]
+        pts[0] = SG.zero(ops)
+        ks = [rng.randrange(R) for _ in range(B)]
+        ks[1], ks[2], ks[3] = 0, 1, R - 1
+        out = glv.scalar_mul_glv(K, G.encode_points(K, pts),
+                                 jnp.asarray(L.stack_ints(ks)))
+        dec = G.decode_points(K, jax.tree.map(np.asarray, out))
+        for i in (0, 1, 2, 3, 77, 127):
+            assert SG.eq(dec[i], SG.scalar_mul(pts[i], ks[i], ops),
+                         ops), (name, i)
+        print(f"5. fused GLV ladder {name} vs oracle OK "
+              f"({time.time()-t0:.1f}s)")
 
     print("ALL TPU CHECKS PASS")
 

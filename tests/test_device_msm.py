@@ -105,6 +105,25 @@ def test_sharded_pairing_matches_single_device():
     assert T.fq12_decode(out1)[0] == want
 
 
+def test_signed_digits_reconstruct():
+    """_signed_digits: digits in [-(2^(c-1)-1), 2^(c-1)] and
+    sum(d_w * 2^(c*w)) == k exactly, incl. adversarial all-ones and
+    near-R scalars."""
+    rng = random.Random(SEED + 9)
+    ks = [0, 1, (1 << 254) - 1, R - 1, R - 2,
+          int("aa" * 32, 16) % (1 << 254)] + \
+         [rng.randrange(R) for _ in range(58)]
+    kd = jnp.asarray(L.stack_ints(ks))
+    for c in (4, 5, 6):
+        W = (254 + 1 + c - 1) // c
+        dgs = np.asarray(M._signed_digits(M._digits_any_c(kd, c, W), c))
+        half = 1 << (c - 1)
+        assert dgs.min() >= -(half - 1) and dgs.max() <= half
+        for j, k in enumerate(ks):
+            got = sum(int(dgs[w, j]) << (c * w) for w in range(W))
+            assert got == k, (c, j)
+
+
 def test_sharded_msm_matches_single_device():
     rng = random.Random(SEED + 4)
     n = 16

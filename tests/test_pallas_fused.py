@@ -400,11 +400,12 @@ def test_point_add_double_bodies():
             set_pallas(None)
 
 
-def _msm_accumulate_jnp(ncoords, packed, digits, nb):
+def _msm_accumulate_jnp(ncoords, packed, digits, nb, signed=False):
     """jnp reference of pallas_fused.msm_accumulate (same lane tiling,
-    same one-hot bucket semantics, same running-sum reduction; the mixed
-    madd is replaced by the full unified add on (x, y, 1) — same group
-    element, possibly different Jacobian representative)."""
+    same one-hot bucket semantics incl. signed-digit y negation, same
+    running-sum reduction; the mixed madd is replaced by the full unified
+    add on (x, y, 1) — same group element, possibly different Jacobian
+    representative)."""
     W, n = digits.shape
     lanes = PF._TILE_S * 128
     m = n // lanes
@@ -422,6 +423,10 @@ def _msm_accumulate_jnp(ncoords, packed, digits, nb):
         for i in range(m):
             q = tree_of(packed[:, :, i * lanes:(i + 1) * lanes])
             d = digits[w, i * lanes:(i + 1) * lanes]
+            if signed:
+                negm = d < 0
+                q = (q[0], K.select(negm, K.neg(q[1]), q[1]), q[2])
+                d = jnp.where(negm, -d, d)
             cur = G.zero_point(K, lanes)
             for b in range(1, nb):
                 mask = d == b
