@@ -139,6 +139,19 @@ class Fr(_Fp):
             return None
         return cls(v)
 
+    def set_bit(self, bit, to):
+        """Set bit `bit` of the MONTGOMERY representation (lib.rs:65-67,
+        fp.rs:83-85: the reference mutates the raw U256 repr, which holds
+        v*R mod r).  We store canonical ints, so: enter Montgomery form,
+        set the bit, exit.  Out-of-range bits are ignored, like
+        arith.rs:252-262's false return.  Mutates self, returns None
+        (reference parity)."""
+        if not 0 <= bit < 256:
+            return
+        m = (self.v * _C.MONT_R_FR) % self._mod
+        m = (m | (1 << bit)) if to else (m & ~(1 << bit))
+        self.v = (m * pow(_C.MONT_R_FR, -1, self._mod)) % self._mod
+
 
 class Fq(_Fp):
     """Base field element (mod q)."""

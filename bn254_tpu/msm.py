@@ -189,6 +189,12 @@ def msm(K, points, scalars, c: int = WINDOW_BITS, tiles: int | None = None,
     points: Jacobian device batch ([.., n]); scalars: canonical limbs
     [N_LIMBS, n].  n must be a multiple of `tiles` (pad with infinity or
     zero-scalar pairs on the host if needed).
+
+    num_bits is a STATIC bound on the scalar bit-length, trusted as-is:
+    digit extraction stops there, so scalar bits at or above num_bits are
+    silently dropped (the result is then sum (k_i mod 2^num_bits) * P_i).
+    Pass the default 256 unless every scalar is known to fit the smaller
+    bound (GLV half-scalars pass 128).
     """
     n = K.batch_of(points[0])
     from .fields import _use_pallas

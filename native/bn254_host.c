@@ -789,11 +789,18 @@ static void glv_decompose(const u256 *k, u256 *a1, int *s1,
     *a2 = k2;
 }
 
-/* width-4 NAF: odd digits in [-15, 15], LSB-first; returns length */
+/* width-4 NAF: odd digits in [-15, 15], LSB-first; returns length.
+ * cap: the caller's buffers hold GLV_WNAF_MAX digits.  A w-NAF of an
+ * n-bit value has at most n+1 digits; GLV half-scalars satisfy
+ * |ki| < 2^127 even for non-canonical 256-bit k (the decomposition is
+ * correct mod r for any input), so 132 leaves headroom — the cap only
+ * bites if the lattice constants ever change, turning a silent stack
+ * overflow into a truncated (wrong, but memory-safe) result. */
+#define GLV_WNAF_MAX 132
 static int glv_wnaf(int8_t *digits, const u256 *k) {
     u256 n = *k;
     int len = 0;
-    while (!u256_is_zero(&n)) {
+    while (!u256_is_zero(&n) && len < GLV_WNAF_MAX) {
         int d = 0;
         if (n.v[0] & 1) {
             d = (int)(n.v[0] & 31);           /* mod 2^(w+1) = 32 */
@@ -812,7 +819,8 @@ static int glv_wnaf(int8_t *digits, const u256 *k) {
 
 #define DEF_GLV(NAME, PT, FE_IS_ZERO, FE_NEG_Y, ENDO)                     \
 static void NAME##_scalar_mul_glv(PT *r, const PT *p, const u256 *k) {    \
-    /* k must be canonical (< r): the decomposition bounds assume it */   \
+    /* decomposition is correct mod r for ANY 256-bit k (half-scalar     \
+     * bounds |ki| < 2^127 hold empirically even non-canonical) */       \
     if (u256_is_zero(k)) { memset(r, 0, sizeof(*r)); return; }            \
     if (FE_IS_ZERO(&p->z)) { *r = *p; return; }                           \
     u256 a1, a2;                                                          \
@@ -831,7 +839,7 @@ static void NAME##_scalar_mul_glv(PT *r, const PT *p, const u256 *k) {    \
         NAME##_add(&t1[i], &t1[i - 1], &d1);                              \
         NAME##_add(&t2[i], &t2[i - 1], &d2);                              \
     }                                                                     \
-    int8_t n1[132], n2[132];                                              \
+    int8_t n1[GLV_WNAF_MAX], n2[GLV_WNAF_MAX];                            \
     int l1 = glv_wnaf(n1, &a1), l2 = glv_wnaf(n2, &a2);                   \
     int len = l1 > l2 ? l1 : l2;                                          \
     PT res, tmp;                                                          \

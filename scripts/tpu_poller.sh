@@ -5,7 +5,14 @@
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 while true; do
-  if timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" >/dev/null 2>&1; then
+  # the probe must EXECUTE an op: during the 2026-08-20 outage the
+  # backend registered and listed the device but every execution hung
+  if timeout 240 python -c "
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != 'cpu'
+x = jnp.ones((128, 128))
+assert float((x @ x).sum()) == 128.0 * 128 * 128
+" >/dev/null 2>&1; then
     echo "$(date -Is) tunnel UP — starting revalidation" >> /tmp/tpu_poller.log
     bash scripts/tpu_revalidate.sh > /tmp/tpu_revalidate.log 2>&1
     echo "$(date -Is) revalidation finished rc=$?" >> /tmp/tpu_poller.log

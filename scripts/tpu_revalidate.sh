@@ -7,12 +7,11 @@ cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
 f() { grep -vE "WARNING|cpu_aot|features:"; }
 
-echo "== goldens (eager kernels) =="
+echo "== goldens (default spelling: lazy reduction ON since round 3) =="
 timeout 3600 python scripts/tpu_check.py 2>&1 | f | tail -8
 
-echo "== goldens with BN254_LAZY_FQ2=1 (lazy-reduction validation) =="
-echo "   (if green: flip the _LAZY_FQ2 default in pallas_fused.py)"
-BN254_LAZY_FQ2=1 timeout 3600 python scripts/tpu_check.py 2>&1 | f | tail -8
+echo "== goldens with BN254_LAZY_FQ2=0 (eager fallback spelling) =="
+BN254_LAZY_FQ2=0 timeout 3600 python scripts/tpu_check.py 2>&1 | f | tail -8
 
 echo "== pairing batch sweep + phase breakdown =="
 timeout 4800 python scripts/bench_pairing.py 2>&1 | f | tail -20

@@ -63,6 +63,30 @@ def test_fr_from_slice_unreduced():
         Fr.from_slice(b"\x00" * 31)
 
 
+def test_fr_set_bit_montgomery_repr():
+    """Fr::set_bit operates on the raw MONTGOMERY representation
+    (lib.rs:65-67, fp.rs:83-85) — pin the convention with independent
+    int math against spec constants."""
+    rinv = pow(C.MONT_R_FR, -1, C.R)
+    rng = random.Random(0x5E7B17)
+    for _ in range(20):
+        v = rng.randrange(C.R)
+        bit = rng.randrange(256)
+        for to in (True, False):
+            a = Fr(v)
+            a.set_bit(bit, to)
+            m = (v * C.MONT_R_FR) % C.R
+            m = (m | (1 << bit)) if to else (m & ~(1 << bit))
+            assert a == Fr((m * rinv) % C.R)
+    # already-set / already-clear bits are no-ops
+    a = Fr(12345)
+    m = (12345 * C.MONT_R_FR) % C.R
+    a.set_bit(0, bool(m & 1))
+    assert a == Fr(12345)
+    a.set_bit(300, True)                    # out-of-range: ignored
+    assert a == Fr(12345)
+
+
 def test_fq_from_slice_rejects_ge_q():
     """lib.rs:154-159."""
     assert Fq.from_slice((C.Q - 1).to_bytes(32, "big")) == Fq(C.Q - 1)

@@ -62,22 +62,72 @@ def test_msm_accumulate_kernel_interpret():
         PF.set_interpret(False)
     totals = np.asarray(totals)             # [W, 3, N, LANES]
 
+    _check_vs_oracle(totals, digits, pts, W, NB, ops, signed=False)
+
+
+def test_msm_accumulate_kernel_interpret_signed():
+    """Signed-digit variant (ADVICE r03): the in-kernel |d| bucket
+    indexing and y-negation for d < 0 (pallas_fused msm kernel `signed`
+    branch — the unconditional TPU production path since round 3) run
+    through the Pallas interpreter.  Digits cover the full signed range
+    for c=3: -(2^(c-1)-1) = -3 through the +2^(c-1) = +4 boundary digit
+    (nb = 2^(c-1)+1 = 5 buckets incl. discard)."""
+    rng = random.Random(SEED + 1)
+    ops, gen = SG.G1_PARAMS[0], SG.G1_PARAMS[1]
+    g = (gen[0], gen[1], ops.one)
+    nb = 5                                   # c=3 signed: |d| in [0, 4]
+    w = 1                                    # one window bounds compile time
+
+    pool = [SG.to_affine(SG.scalar_mul(g, 2 + i, ops), ops)
+            for i in range(17)]
+    idx = [rng.randrange(len(pool)) for _ in range(N_PTS)]
+    for lane in range(0, 64):               # dup same-bucket lanes
+        idx[LANES + lane] = idx[lane]
+    pts = [pool[i] for i in idx]
+
+    digits = np.array([[rng.randrange(-(nb - 2), nb) for _ in range(N_PTS)]
+                       for _ in range(w)], dtype=np.int32)
+    digits[0, :4] = 0                        # discard-bucket lanes
+    digits[0, 4:8] = -(nb - 2)               # most-negative digit
+    digits[0, 8:12] = nb - 1                 # +2^(c-1) boundary digit
+    for lane in range(0, 64):               # same bucket for the dup pairs
+        digits[0, LANES + lane] = digits[0, lane]
+
+    from bn254_tpu.fields import FQ
+    ax = jnp.asarray(FQ.encode([p[0] for p in pts]))
+    ay = jnp.asarray(FQ.encode([p[1] for p in pts]))
+    packed = jnp.stack([ax, ay], axis=0)
+
+    PF.set_interpret(True)
+    try:
+        totals = PF.msm_accumulate(1, packed, jnp.asarray(digits), nb,
+                                   signed=True)
+    finally:
+        PF.set_interpret(False)
+    _check_vs_oracle(np.asarray(totals), digits, pts, w, nb, ops,
+                     signed=True)
+
+
+def _check_vs_oracle(totals, digits, pts, nwin, nb, ops, signed):
     # spec oracle: per (window, lane) running-sum of buckets
-    for w in range(W):
+    for w in range(nwin):
         got_pts = G.decode_points(
             G.G1, (jnp.asarray(totals[w, 0]), jnp.asarray(totals[w, 1]),
                    jnp.asarray(totals[w, 2])))
         for lane in range(LANES):
-            buckets = [SG.zero(ops) for _ in range(NB)]
+            buckets = [SG.zero(ops) for _ in range(nb)]
             for step in range(M_TILES):
                 i = step * LANES + lane
-                b = int(digits[w, i])
+                d = int(digits[w, i])
+                b = abs(d) if signed else d
                 if b:
-                    buckets[b] = SG.add(
-                        buckets[b], (pts[i][0], pts[i][1], ops.one), ops)
+                    p = (pts[i][0], pts[i][1], ops.one)
+                    if signed and d < 0:
+                        p = SG.neg(p, ops)
+                    buckets[b] = SG.add(buckets[b], p, ops)
             want = SG.zero(ops)
             acc = SG.zero(ops)
-            for b in range(NB - 1, 0, -1):
+            for b in range(nb - 1, 0, -1):
                 acc = SG.add(acc, buckets[b], ops)
                 want = SG.add(want, acc, ops)
             assert SG.eq(got_pts[lane], want, ops), (w, lane)
