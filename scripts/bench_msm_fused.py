@@ -37,7 +37,10 @@ def main():
         M.MSM_FUSED_WINDOW = {1: int(c_env), 2: int(c_env)}
         print(f"window override: c={c_env}")
 
-    # correctness first, at n=1024 vs the spec oracle
+    # correctness first, at n=1024.  Oracle: native C Pippenger when
+    # built (the pure-Python spec loop costs ~30 min of host time at
+    # n=1024 — it burned half the revalidation stage's budget on
+    # 2026-08-20), spec otherwise.
     n0 = 1024
     ks0 = [rng.randrange(R) for _ in range(n0 - 2)] + [0, 7]
     k0 = jnp.asarray(L.stack_ints(ks0))
@@ -45,12 +48,21 @@ def main():
     out0 = M.msm(G.G1, pts0, k0)            # fused path (tiles=None, TPU)
     dec = G.decode_points(G.G1, jax.tree.map(np.asarray, out0))[0]
     ops1, gen = SG.G1_PARAMS[0], SG.G1_PARAMS[1]
-    acc = (ops1.zero, ops1.one, ops1.zero)
-    for k in ks0:
-        p = SG.scalar_mul((gen[0], gen[1], ops1.one), k, ops1)
-        acc = SG.add(acc, SG.scalar_mul(p, k, ops1), ops1)
-    assert SG.eq(dec, acc, ops1), "fused MSM diverges from spec oracle"
-    print("fused MSM vs spec oracle (n=1024): OK")
+    gpt = (gen[0], gen[1], ops1.one)
+    try:
+        from bn254_tpu import native as NV
+
+        pts_host = [SG.scalar_mul(gpt, k, ops1) for k in ks0]
+        acc = NV.msm_g1(pts_host, ks0)
+        oracle = "native C"
+    except OSError:
+        acc = (ops1.zero, ops1.one, ops1.zero)
+        for k in ks0:
+            p = SG.scalar_mul(gpt, k, ops1)
+            acc = SG.add(acc, SG.scalar_mul(p, k, ops1), ops1)
+        oracle = "spec"
+    assert SG.eq(dec, acc, ops1), "fused MSM diverges from the oracle"
+    print(f"fused MSM vs {oracle} oracle (n=1024): OK")
 
     for nlog in sizes:
         n = 1 << nlog
