@@ -145,7 +145,16 @@ class Fr(_Fp):
         v*R mod r).  We store canonical ints, so: enter Montgomery form,
         set the bit, exit.  Out-of-range bits are ignored, like
         arith.rs:252-262's false return.  Mutates self, returns None
-        (reference parity)."""
+        (reference parity).
+
+        Divergence for NON-CANONICAL reprs: the reference keeps the raw
+        U256 unreduced, so a set bit can push the repr >= r and a later
+        get_bit/equality/round-trip sees those raw bits (e.g.
+        set_bit(255, True) then set_bit(255, False) restores the
+        original there).  We re-canonicalize (reduce mod r) after every
+        mutation, so such out-of-field intermediate states are folded
+        immediately; behavior matches the reference exactly whenever the
+        mutated repr stays < r (the canonical-construction use case)."""
         if not 0 <= bit < 256:
             return
         m = (self.v * _C.MONT_R_FR) % self._mod

@@ -766,8 +766,13 @@ static void u256_mul_trunc(u256 *r, const u256 *a, const u256 *b) {
     memcpy(r->v, t, sizeof(t));
 }
 
-/* k (canonical, < r) -> (|k1|, s1, |k2|, s2) with k = (-1)^s1 |k1| +
- * (-1)^s2 |k2| * lambda (mod r), |ki| < 2^127 (+ Barrett slack). */
+/* k (any 256-bit value, canonical or not) -> (|k1|, s1, |k2|, s2) with
+ * k = (-1)^s1 |k1| + (-1)^s2 |k2| * lambda (mod r) and |ki| < 2^127.
+ * The bound is analytical, not empirical: the Barrett rounding error is
+ * <= 1/2 + 2^-15 per coefficient independent of k (GLV_GiC carry 2^271
+ * scaling vs the 2^256 shift), so (k1,k2) lies within one fundamental
+ * lattice cell of the rounded solution and the half-scalar bound from
+ * the reduced basis (|vi| ~ sqrt(r)) holds for all inputs. */
 static void glv_decompose(const u256 *k, u256 *a1, int *s1,
                           u256 *a2, int *s2) {
     u256 b1, b2, t1, t2, k1, k2, zero = {{0, 0, 0, 0}};
@@ -819,8 +824,8 @@ static int glv_wnaf(int8_t *digits, const u256 *k) {
 
 #define DEF_GLV(NAME, PT, FE_IS_ZERO, FE_NEG_Y, ENDO)                     \
 static void NAME##_scalar_mul_glv(PT *r, const PT *p, const u256 *k) {    \
-    /* decomposition is correct mod r for ANY 256-bit k (half-scalar     \
-     * bounds |ki| < 2^127 hold empirically even non-canonical) */       \
+    /* decomposition is correct mod r for ANY 256-bit k; the half-      \
+     * scalar bound |ki| < 2^127 is analytical (see glv_decompose) */    \
     if (u256_is_zero(k)) { memset(r, 0, sizeof(*r)); return; }            \
     if (FE_IS_ZERO(&p->z)) { *r = *p; return; }                           \
     u256 a1, a2;                                                          \
