@@ -63,10 +63,11 @@ def main():
     _enable_compile_cache()
     from bn254_tpu import pairing_jax as PJ
 
-    # batch 4096 > 1024: the Miller/final-exp kernels pipeline across
-    # grid steps and amortize the tunnel RTT (measured sweep in
-    # scripts/bench_pairing.py: 28.6k/s @1024 -> 67k/s @4096, round 3)
-    batch = int(os.environ.get("BENCH_BATCH", "4096"))
+    # Batch sweep (round 5, driver-shape run): 96.7k/s @4096 ->
+    # 100.7k @8192 -> 103.5k @16384 — the ~25 ms/dispatch tunnel
+    # overhead amortizes and the Miller/final-exp kernels pipeline
+    # across grid steps; beyond 16384 the curve is flat (compute-bound).
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     # encode_points returns host numpy; put on device ONCE so the timed

@@ -42,8 +42,12 @@ N = L.N_LIMBS
 LB = L.LIMB_BITS
 MASK = L.MASK
 
-# default batch-lane tile per grid step (S sublanes x 128 lanes)
-_TILE_S = 8
+# default batch-lane tile per grid step (S sublanes x 128 lanes).
+# BN254_TILE_S overrides for perf experiments (sub-vreg values < 8 waste
+# lane occupancy; larger values grow each grid cell's VMEM working set).
+import os as _os
+
+_TILE_S = int(_os.environ.get("BN254_TILE_S", "8"))
 
 # interpret mode: run every fused kernel through the Pallas interpreter
 # (CPU) instead of Mosaic — used by tests/test_pallas_fused.py to verify

@@ -42,25 +42,75 @@ def host(n):
 
 
 def device(n):
-    """Same workload batched: build the two point ladders host-side (cheap
-    scalar muls), then run all 2n reduced pairings on the device and fold."""
-    from bn254_tpu import batch as B
+    """The whole workload vectorized on the device.
 
-    c = Fr.from_str("1901").inverse()
-    d = Fr.from_str("2344").inverse()
+    The reference ladder is the sequential recurrence a = a*s1
+    (shootout/main.rs:16-24), so a_i = s1^i * G1::one(): per chunk a
+    batched GLV ladder builds those points directly from the scalar
+    powers (host big-int powers are ~n modmuls, negligible), the fused
+    Miller loop folds the chunk's pairing product (shared squaring
+    chain, mod.rs:609-640 chunk-wise — algebraically exact partials),
+    and ONE final exponentiation finishes each accumulator
+    (mod.rs:925).  Timing starts after an untimed same-shape warm-up so
+    the number excludes jit compilation (the reference's 208.8 s
+    excludes rustc, too); each chunk ends in a host transfer of the
+    partial product, so the clock covers real device completion
+    (methodology v2)."""
+    import jax
+    import jax.numpy as jnp
 
-    def ladder(s1, s2):
-        a, b = G1.one(), G2.one()
-        pairs = []
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/bn254_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from bn254_tpu import glv
+    from bn254_tpu import groups as G
+    from bn254_tpu import limbs as L
+    from bn254_tpu import pairing_jax as PJ
+    from bn254_tpu import tower as T
+    from bn254_tpu.spec import field as SF
+    from bn254_tpu.spec.constants import R
+
+    CH = int(os.environ.get("BN254_SHOOTOUT_CHUNK", "4096"))
+    c = Fr.from_str("1901").inverse().v
+    d = Fr.from_str("2344").inverse().v
+
+    g1fn = jax.jit(lambda p, s: glv.scalar_mul_glv(G.G1, p, s))
+    g2fn = jax.jit(lambda p, s: glv.scalar_mul_glv(G.G2, p, s))
+    miller = jax.jit(lambda p, q: PJ.miller_loop_batch(q, p))
+    gen1, gen2 = G.generator(G.G1, CH), G.generator(G.G2, CH)
+
+    def chunk_f(k1, k2):
+        p = g1fn(gen1, jnp.asarray(L.stack_ints(k1)))
+        q = g2fn(gen2, jnp.asarray(L.stack_ints(k2)))
+        return T.fq12_decode(miller(p, q))[0]
+
+    def accumulate(s1, s2):
+        ks1, ks2 = [], []
+        x = y = 1
         for _ in range(n):
-            pairs.append((a, b))
-            a = a * s1
-            b = b * s2
-        return pairs
+            ks1.append(x)
+            ks2.append(y)
+            x = (x * s1) % R
+            y = (y * s2) % R
+        acc = None
+        for i in range(0, n, CH):
+            k1, k2 = ks1[i:i + CH], ks2[i:i + CH]
+            pad = CH - len(k1)
+            # scalar 0 -> point at infinity -> pair folds to 1 (the
+            # silent-skip semantics of mod.rs:911-920)
+            k1 += [0] * pad
+            k2 += [0] * pad
+            f = chunk_f(k1, k2)
+            acc = f if acc is None else SF.fq12_mul(acc, f)
+        return SF.fq12_final_exponentiation(acc)
+
+    chunk_f([1] * CH, [1] * CH)             # compile, untimed
 
     t0 = time.perf_counter()
-    acc1 = B.pairing_batch(ladder(c, d))
-    acc2 = B.pairing_batch(ladder(d, c))
+    acc1 = accumulate(c, d)
+    acc2 = accumulate(d, c)
     dt = time.perf_counter() - t0
     assert acc1 == acc2, "commuting accumulators disagree"
     return dt
